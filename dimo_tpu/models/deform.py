@@ -1,0 +1,57 @@
+"""KNN linear-blend skinning of Gaussians by control-point motion.
+
+Parity with the reference's stage-2 deformation blend
+(`renderer/latent_gs_renderer.py:1191-1209`): Gaussian-kernel weights over
+the 4 nearest control points, per-neighbor local-frame rigid transform,
+quaternion composition of blended residual rotations. Pure jnp — this is
+~100k x 4 fused gather/FMA work that XLA schedules around the rasterizer.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from dimo_tpu.ops import quat as quat_ops
+
+EPS = 1e-7
+
+
+def knn_weights(nn_dist: jnp.ndarray, c_radius_n: jnp.ndarray) -> jnp.ndarray:
+    """w = l1-normalize(exp(-d^2 / (2 r_n^2)) + eps); dists carry no gradient
+    (the reference computes KNN on detached tensors)."""
+    nn_dist = lax.stop_gradient(nn_dist)
+    w = jnp.exp(-(nn_dist ** 2) / (2.0 * (c_radius_n ** 2))) + EPS
+    return w / jnp.sum(jnp.abs(w), axis=-1, keepdims=True)
+
+
+def lbs_blend(
+    xyz: jnp.ndarray,          # (N, 3) canonical gaussian centers
+    rotation: jnp.ndarray,     # (N, 4) raw (unnormalized) gaussian quats
+    c_xyz: jnp.ndarray,        # (M, 3) canonical control points
+    d_xyz_c: jnp.ndarray,      # (M, 3) control point translations at t
+    d_rot_c: jnp.ndarray,      # (M, 4) control point rotation residuals at t
+    c_radius: jnp.ndarray,     # (M, 1) linear radii
+    nn_idx: jnp.ndarray,       # (N, K) neighbor cpt indices
+    nn_dist: jnp.ndarray,      # (N, K) neighbor euclidean distances
+    local_frame: bool = True,
+):
+    """Returns (deformed xyz (N,3), composed rotation (N,4) normalized)."""
+    r_n = c_radius[nn_idx][..., 0]                        # (N, K)
+    w = knn_weights(nn_dist, r_n)                         # (N, K)
+
+    c_n = c_xyz[nn_idx]                                   # (N, K, 3)
+    d_n = d_xyz_c[nn_idx]                                 # (N, K, 3)
+    q_n = d_rot_c[nn_idx]                                 # (N, K, 4)
+
+    if local_frame:
+        R_n = quat_ops.to_matrix(q_n)                     # (N, K, 3, 3)
+        local = xyz[:, None, :] - c_n                     # (N, K, 3)
+        moved = jnp.einsum("nkij,nkj->nki", R_n, local) + c_n + d_n
+        pts = jnp.sum(w[..., None] * moved, axis=1)
+    else:
+        pts = xyz + jnp.sum(w[..., None] * d_n, axis=1)
+
+    rot_res = jnp.sum(w[..., None] * q_n, axis=1)         # (N, 4)
+    rot = quat_ops.multiply(rot_res, rotation)
+    rot = quat_ops.normalize(rot)
+    return pts, rot

@@ -1,0 +1,105 @@
+"""As-rigid-as-possible regularization over deformed control-point graphs.
+
+TPU-native port of the reference's ARAP machinery (`utils/deform_utils.py`):
+  * connectivity_shared: edges valid in ALL sampled frames via ball query
+    (v2 semantics, `cal_connectivity_from_points_v2:115-141`);
+  * best-fit per-node rotations by weighted Procrustes with det-flip fix
+    (`estimate_rotation:161-197`), computed under stop_gradient exactly like
+    the reference's torch.no_grad;
+  * energy = sum_t sum_edges w * ||e_t - R e_0||^2 (`cal_arap_error:208-236`).
+
+Everything is masked fixed-shape jnp: edges are (N, K) index+mask arrays, the
+batched 3x3 SVD runs via jnp.linalg.svd.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dimo_tpu.ops.neighbors import pairwise_sq_dists
+
+
+def connectivity_shared(points_t: jnp.ndarray, k: int = 10, radius: float = 0.1,
+                        valid: jnp.ndarray | None = None):
+    """Neighbors within `radius` in every frame.
+
+    Args:
+      points_t: (T, N, 3) node positions over T sampled times.
+      valid: optional (N,) node mask.
+    Returns:
+      idx (N, k) int32 (arbitrary fill where invalid), mask (N, k) bool.
+    """
+    t, n, _ = points_t.shape
+    d2 = jax.vmap(lambda p: pairwise_sq_dists(p, p))(points_t)   # (T, N, N)
+    inside = jnp.all(d2 < radius * radius, axis=0)               # (N, N)
+    inside = inside & ~jnp.eye(n, dtype=bool)
+    if valid is not None:
+        inside = inside & valid[:, None] & valid[None, :]
+    # nearest-first among qualifying, using frame-0 distances
+    score = jnp.where(inside, d2[0], jnp.inf)
+    neg, idx = lax.top_k(-score, k)
+    mask = jnp.isfinite(-neg)
+    return idx, mask
+
+
+def _edge_matrix(points: jnp.ndarray, idx: jnp.ndarray,
+                 mask: jnp.ndarray) -> jnp.ndarray:
+    """E[i, n] = p_i - p_idx[i,n], zeroed where mask is False. (N, K, 3)."""
+    e = points[:, None, :] - points[idx]
+    return jnp.where(mask[..., None], e, 0.0)
+
+
+def _procrustes(e0: jnp.ndarray, et: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Per-node best-fit rotation R minimizing sum_k w ||et - R e0||^2.
+
+    e0, et: (N, K, 3); w: (N, K). Computed under stop_gradient.
+    Includes the reference's guard: undeformed nodes get S=0 => R=I.
+    """
+    e0 = lax.stop_gradient(e0)
+    et = lax.stop_gradient(et)
+    S = jnp.einsum("nki,nk,nkj->nij", e0, w, et)                 # (N, 3, 3)
+    unchanged = jnp.all(jnp.abs(e0 - et) < 1e-12, axis=(1, 2))
+    S = jnp.where(unchanged[:, None, None], 0.0, S)
+
+    u, s, vh = jnp.linalg.svd(S)
+    v = jnp.swapaxes(vh, -1, -2)
+    R = v @ jnp.swapaxes(u, -1, -2)
+    # flip the column of U for the smallest singular value where det(R)<=0
+    det = jnp.linalg.det(R)
+    flip = (det <= 0.0)[:, None]
+    u_fixed = u.at[..., :, 2].multiply(jnp.where(flip, -1.0, 1.0))
+    R_fixed = v @ jnp.swapaxes(u_fixed, -1, -2)
+    return jnp.where((det <= 0.0)[:, None, None], R_fixed, R)
+
+
+def arap_error(points_t: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,
+               weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ARAP energy of a trajectory (T, N, 3) w.r.t. frame 0."""
+    t = points_t.shape[0]
+    w = mask.astype(points_t.dtype) if weight is None else weight
+    e0 = _edge_matrix(points_t[0], idx, mask)
+
+    def per_frame(pt):
+        et = _edge_matrix(pt, idx, mask)
+        R = _procrustes(e0, et, w)
+        rigid = jnp.einsum("nij,nkj->nki", R, e0)
+        stretch = et - rigid
+        return jnp.sum(w * jnp.sum(stretch * stretch, axis=-1))
+
+    errs = jax.vmap(per_frame)(points_t[1:])
+    return jnp.sum(errs)
+
+
+def arap_loss(base_pts: jnp.ndarray, d_xyz_t: jnp.ndarray,
+              valid: jnp.ndarray | None = None, k: int = 10,
+              radius: float = 0.1) -> jnp.ndarray:
+    """Reference arap_loss_v2 (`latent_gs_renderer.py:1081-1094`): trajectory
+    = stop_grad(base) + deformation(t); shared-edge graph; energy vs frame 0.
+
+    base_pts: (N, 3); d_xyz_t: (T, N, 3) TimeNet translations at T times.
+    """
+    pts_t = lax.stop_gradient(base_pts)[None] + d_xyz_t
+    idx, mask = connectivity_shared(lax.stop_gradient(pts_t), k=k,
+                                    radius=radius, valid=valid)
+    return arap_error(pts_t, idx, mask)

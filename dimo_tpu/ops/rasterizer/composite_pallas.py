@@ -1,0 +1,252 @@
+"""Pallas TPU alpha-compositing kernel with analytic custom VJP.
+
+The only hand-differentiated piece of the rasterizer. Forward consumes
+fixed-capacity depth-ordered per-tile attribute slabs (built in tiles.py) and
+produces composited channels + final transmittance per pixel; backward
+re-traverses each tile back-to-front, reconstructing per-Gaussian
+transmittance from the stored T_final — the same recomputation strategy as
+the CUDA rasterizer backward the reference relies on, but expressed as a
+(32,128)-pixel vector program per tile.
+
+Performance notes:
+  * tile = 32x128 pixels fills all VPU lanes (vs CUDA's 16x16 warps);
+  * Gaussians stream in blocks of G=8: one dynamic VMEM slice per block,
+    then static scalar extracts — no scalar DMA;
+  * early exit per tile once every pixel's transmittance < 1e-4; forward
+    records how far it got so backward replays exactly the same prefix;
+  * all math is 2D (TILE_H, TILE_W) vector ops — deliberately no 3D/1D
+    shapes inside the kernel for Mosaic friendliness;
+  * projection/SH/binning/gathers live in jnp and are differentiated by
+    autodiff; XLA fuses them around this kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dimo_tpu.ops.rasterizer.tiles import (
+    ATTR_DIM, OUT_CH, TILE_H, TILE_W,
+    A_MX, A_MY, A_CA, A_CB, A_CC, A_OP, A_R,
+)
+
+G_BLOCK = 8
+T_EPS = 1e-4
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_MAX = 0.99
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pixel_grid():
+    r = pl.program_id(0)
+    c = pl.program_id(1)
+    py = (lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+          + r * TILE_H).astype(jnp.float32)
+    px = (lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+          + c * TILE_W).astype(jnp.float32)
+    return px, py
+
+
+def _alpha_terms(slab, j, px, py):
+    """Alpha map for slab row j. Returns everything backward reuses."""
+    mx = slab[j, A_MX]
+    my = slab[j, A_MY]
+    ca = slab[j, A_CA]
+    cb = slab[j, A_CB]
+    cc = slab[j, A_CC]
+    op = slab[j, A_OP]
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    araw = op * expp
+    live = (power <= 0.0) & (araw >= ALPHA_EPS)
+    alpha = jnp.where(live, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    return alpha, araw, expp, live, dx, dy, ca, cb, cc
+
+
+def _fwd_kernel(packed_ref, out_ref, tfin_ref, nproc_ref, t_ref):
+    cap = packed_ref.shape[1]
+    nblocks = cap // G_BLOCK
+    px, py = _pixel_grid()
+
+    for ch in range(OUT_CH):
+        out_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    t_ref[...] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+
+    def cond(carry):
+        blk, tmax = carry
+        return jnp.logical_and(blk < nblocks, tmax > T_EPS)
+
+    def body(carry):
+        blk, _ = carry
+        slab = packed_ref[0, pl.ds(blk * G_BLOCK, G_BLOCK), :]   # (G, 16)
+        T = t_ref[...]
+        accs = [out_ref[ch] for ch in range(OUT_CH)]
+        for j in range(G_BLOCK):
+            alpha, _, _, _, _, _, _, _, _ = _alpha_terms(slab, j, px, py)
+            w = alpha * T                                        # (TH, TW)
+            for ch in range(OUT_CH):
+                accs[ch] = accs[ch] + slab[j, A_R + ch] * w
+            T = T * (1.0 - alpha)
+        for ch in range(OUT_CH):
+            out_ref[ch] = accs[ch]
+        t_ref[...] = T
+        return blk + 1, jnp.max(T)
+
+    blk_done, _ = lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+    tfin_ref[...] = t_ref[...]
+    nproc_ref[pl.program_id(0), pl.program_id(1)] = blk_done * G_BLOCK
+
+
+def _bwd_kernel(packed_ref, gout_ref, tfin_ref, nproc_ref, dpacked_ref,
+                s_ref, t_ref):
+    px, py = _pixel_grid()
+    nblocks_done = nproc_ref[pl.program_id(0), pl.program_id(1)] // G_BLOCK
+
+    dpacked_ref[...] = jnp.zeros_like(dpacked_ref)
+    for ch in range(OUT_CH):
+        s_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    t_ref[...] = tfin_ref[...]
+
+    gouts = [gout_ref[ch] for ch in range(OUT_CH)]               # (TH, TW) each
+    gtfin = gout_ref[OUT_CH]
+    tfin = tfin_ref[...]
+
+    def body(i, _):
+        blk = nblocks_done - 1 - i
+        slab = packed_ref[0, pl.ds(blk * G_BLOCK, G_BLOCK), :]
+        T_run = t_ref[...]
+        S = [s_ref[ch] for ch in range(OUT_CH)]
+        # gradient slab built as a value via constant-mask selects (Mosaic
+        # forbids scalar stores to VMEM refs and scatter on values)
+        rows = lax.broadcasted_iota(jnp.int32, (G_BLOCK, ATTR_DIM), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (G_BLOCK, ATTR_DIM), 1)
+
+        def put(slab_val, j, k, val):
+            return jnp.where((rows == j) & (cols == k), val, slab_val)
+
+        slab_d = jnp.zeros((G_BLOCK, ATTR_DIM), jnp.float32)
+        for j in reversed(range(G_BLOCK)):
+            alpha, araw, expp, live, dx, dy, ca, cb, cc = _alpha_terms(
+                slab, j, px, py)
+            one_minus = 1.0 - alpha
+            T_i = T_run / one_minus
+            # dL/dalpha at every pixel:
+            #   composited channels: c_j*T_i - S_ch/(1-alpha)
+            #   T_final output:      -T_final/(1-alpha)
+            dalpha = -gtfin * (tfin / one_minus)
+            for ch in range(OUT_CH):
+                dalpha = dalpha + gouts[ch] * (
+                    slab[j, A_R + ch] * T_i - S[ch] / one_minus)
+            gate = live & (araw < ALPHA_MAX)
+            d_araw = jnp.where(gate, dalpha, 0.0)
+            dpower = d_araw * araw
+            aw = alpha * T_i
+            slab_d = put(slab_d, j, A_OP, jnp.sum(d_araw * expp))
+            slab_d = put(slab_d, j, A_CA, jnp.sum(-0.5 * dx * dx * dpower))
+            slab_d = put(slab_d, j, A_CC, jnp.sum(-0.5 * dy * dy * dpower))
+            slab_d = put(slab_d, j, A_CB, jnp.sum(-dx * dy * dpower))
+            slab_d = put(slab_d, j, A_MX, jnp.sum((ca * dx + cb * dy) * dpower))
+            slab_d = put(slab_d, j, A_MY, jnp.sum((cc * dy + cb * dx) * dpower))
+            for ch in range(OUT_CH):
+                slab_d = put(slab_d, j, A_R + ch, jnp.sum(gouts[ch] * aw))
+            for ch in range(OUT_CH):
+                S[ch] = S[ch] + slab[j, A_R + ch] * aw
+            T_run = T_i
+        for ch in range(OUT_CH):
+            s_ref[ch] = S[ch]
+        t_ref[...] = T_run
+        dpacked_ref[0, pl.ds(blk * G_BLOCK, G_BLOCK), :] = slab_d
+        return 0
+
+    lax.fori_loop(0, nblocks_done, body, 0)
+
+
+def _fwd_call(packed, height: int, width: int):
+    t, cap, a = packed.shape
+    assert a == ATTR_DIM and cap % G_BLOCK == 0, (cap, a)
+    nrows, ncols = height // TILE_H, width // TILE_W
+    assert nrows * ncols == t, (nrows, ncols, t)
+
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(nrows, ncols),
+        in_specs=[
+            pl.BlockSpec((1, cap, ATTR_DIM), lambda r, c: (r * ncols + c, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((OUT_CH, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, ncols), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((OUT_CH, TILE_H, TILE_W), lambda r, c: (0, r, c)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda r, c: (r, c)),
+            pl.BlockSpec((nrows, ncols), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(packed)
+
+
+def _bwd_call(packed, gout, tfin, nproc, height: int, width: int):
+    t, cap, _ = packed.shape
+    nrows, ncols = height // TILE_H, width // TILE_W
+
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(nrows, ncols),
+        in_specs=[
+            pl.BlockSpec((1, cap, ATTR_DIM), lambda r, c: (r * ncols + c, 0, 0)),
+            pl.BlockSpec((OUT_CH + 1, TILE_H, TILE_W), lambda r, c: (0, r, c)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda r, c: (r, c)),
+            pl.BlockSpec((nrows, ncols), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((t, cap, ATTR_DIM), jnp.float32),
+        out_specs=pl.BlockSpec((1, cap, ATTR_DIM),
+                               lambda r, c: (r * ncols + c, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((OUT_CH, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(packed, gout, tfin, nproc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def composite(packed: jnp.ndarray, height: int, width: int):
+    """Composite per-tile slabs -> ((OUT_CH,H,W) channels, (H,W) T_final).
+
+    packed: (T, C, ATTR_DIM) depth-ordered per-tile attribute slabs.
+    height/width: static multiples of (TILE_H, TILE_W).
+    """
+    out, tfin, _ = _fwd_call(packed, height, width)
+    return out, tfin
+
+
+def _composite_fwd(packed, height, width):
+    out, tfin, nproc = _fwd_call(packed, height, width)
+    return (out, tfin), (packed, tfin, nproc)
+
+
+def _composite_bwd(height, width, res, g):
+    packed, tfin, nproc = res
+    gout7, gtfin = g
+    gout = jnp.concatenate([gout7, gtfin[None]], axis=0)
+    dpacked = _bwd_call(packed, gout, tfin, nproc, height, width)
+    return (dpacked,)
+
+
+composite.defvjp(_composite_fwd, _composite_bwd)

@@ -1,0 +1,101 @@
+"""Per-tile Gaussian list construction (pure jnp; fused by XLA).
+
+TPU-native replacement for the CUDA rasterizers' duplicate+radix-sort tile
+binning: we instead do ONE global depth argsort, then per-tile stream
+compaction into fixed-capacity lists (static shapes for XLA). Gaussians per
+tile stay depth-ordered because compaction preserves the sorted order.
+
+Tiles are (TILE_H, TILE_W) = (32, 128) pixels — the TPU-friendly shape whose
+last dim fills all 128 vector lanes (vs CUDA's 16x16).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+TILE_H = 32
+TILE_W = 128
+
+# Packed attribute channel layout (lane-padded to 16)
+ATTR_DIM = 16
+A_MX, A_MY, A_CA, A_CB, A_CC, A_OP = 0, 1, 2, 3, 4, 5
+A_R, A_G, A_B, A_DEPTH = 6, 7, 8, 9
+A_NX, A_NY, A_NZ = 10, 11, 12
+OUT_CH = 7  # composited channels: r g b depth nx ny nz
+
+
+class TileLists(NamedTuple):
+    idx: jnp.ndarray      # (T, C) int32 indices into the N+1-row attr table
+    count: jnp.ndarray    # (T,) int32 number of valid entries (<= C)
+    overflow: jnp.ndarray  # () int32 total entries dropped by capacity
+
+
+def num_tiles(height: int, width: int) -> tuple[int, int]:
+    assert height % TILE_H == 0 and width % TILE_W == 0, (height, width)
+    return height // TILE_H, width // TILE_W
+
+
+def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
+                     capacity: int) -> TileLists:
+    """Depth-sorted fixed-capacity per-tile Gaussian lists.
+
+    Args: mean2d (N,2) pixel coords, radius (N,) screen radius, depth (N,),
+    ok (N,) bool. All non-differentiable (stop_gradient upstream).
+    Returns indices in [0, N]; N is the "dummy" row (zero attributes).
+    """
+    n = depth.shape[0]
+    nrows, ncols = num_tiles(height, width)
+    t = nrows * ncols
+
+    order = jnp.argsort(jnp.where(ok, depth, jnp.inf)).astype(jnp.int32)  # (N,)
+    mx = mean2d[order, 0]
+    my = mean2d[order, 1]
+    r = radius[order]
+    oks = ok[order]
+
+    cmin = jnp.floor((mx - r) / TILE_W).astype(jnp.int32)
+    cmax = jnp.floor((mx + r) / TILE_W).astype(jnp.int32)
+    rmin = jnp.floor((my - r) / TILE_H).astype(jnp.int32)
+    rmax = jnp.floor((my + r) / TILE_H).astype(jnp.int32)
+
+    tr = (jnp.arange(t, dtype=jnp.int32) // ncols)[:, None]   # (T, 1)
+    tc = (jnp.arange(t, dtype=jnp.int32) % ncols)[:, None]
+    ov = (oks[None, :] & (r[None, :] > 0.0)
+          & (tc >= cmin[None, :]) & (tc <= cmax[None, :])
+          & (tr >= rmin[None, :]) & (tr <= rmax[None, :]))    # (T, N)
+
+    pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1        # (T, N)
+    sel = ov & (pos < capacity)
+    tile_ids = jnp.arange(t, dtype=jnp.int32)[:, None]
+    flat = jnp.where(sel, tile_ids * capacity + pos, t * capacity)  # dump slot
+
+    out = jnp.full((t * capacity + 1,), n, dtype=jnp.int32)
+    src = jnp.broadcast_to(order[None, :], (t, n))
+    out = out.at[flat.reshape(-1)].set(src.reshape(-1), mode="drop")
+    idx = out[: t * capacity].reshape(t, capacity)
+
+    total = jnp.sum(ov.astype(jnp.int32), axis=1)             # (T,)
+    count = jnp.minimum(total, capacity)
+    overflow = jnp.sum(jnp.maximum(total - capacity, 0))
+    return TileLists(idx=idx, count=count, overflow=overflow)
+
+
+def pack_attrs(mean2d, conic, opacity, color, depth, normal) -> jnp.ndarray:
+    """Stack per-Gaussian attributes into an (N+1, 16) table; last row is the
+    zero "dummy" used for padded list slots (opacity 0 => no contribution).
+    Differentiable w.r.t. every input (the gather of this table into per-tile
+    slabs is transposed by autodiff into a scatter-add)."""
+    n = mean2d.shape[0]
+    cols = [
+        mean2d[:, 0], mean2d[:, 1],
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        opacity[:, 0],
+        color[:, 0], color[:, 1], color[:, 2],
+        depth,
+        normal[:, 0], normal[:, 1], normal[:, 2],
+    ]
+    attrs = jnp.stack(cols, axis=-1)                          # (N, 13)
+    attrs = jnp.concatenate(
+        [attrs, jnp.zeros((n, ATTR_DIM - attrs.shape[1]), attrs.dtype)], axis=-1)
+    return jnp.concatenate([attrs, jnp.zeros((1, ATTR_DIM), attrs.dtype)], axis=0)

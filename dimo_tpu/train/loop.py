@@ -1,0 +1,532 @@
+"""Host-side training orchestration: stages, batching, densify cadence, IO.
+
+Functional equivalent of the reference driver class `GUI`
+(`main_train_dimo.py:39-529`): stage-1 motion pretraining then stage-2 joint
+refinement, with the same batch sampling, resolution schedule, densify/prune
+cadence, FPS anneal, checkpoint layout and TensorBoard metric names. The
+device never sees Python control flow — the loop only assembles batches,
+invokes jitted functions, and handles capacity/stage transitions.
+"""
+from __future__ import annotations
+
+import os
+import random
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dimo_tpu.io import checkpoint as ckpt_io
+from dimo_tpu.io import ply as ply_io
+from dimo_tpu.models import gaussians as G
+from dimo_tpu.models import timenet as timenet_mod
+from dimo_tpu.train import optim
+from dimo_tpu.train.step import LossConfig, TrainState, make_train_step
+from dimo_tpu.utils import cameras
+
+
+def loss_config_from_opt(opt, stage: str) -> LossConfig:
+    """Build a LossConfig from an OmegaConf-style dict, applying the
+    reference's per-stage schedule rewrites (`prepare_train_s1/s2`)."""
+    if stage == "s1":
+        pos_init, pos_final, pos_max = opt.position_lr_init, opt.position_lr_final, 500
+    else:
+        pos_init, pos_final, pos_max = 0.0002, 0.000002, int(opt.iters_s2)
+    return LossConfig(
+        lambda_mse=opt.lambda_mse, lambda_lpips=opt.lambda_lpips,
+        lambda_ssim=opt.lambda_ssim, lambda_mask=opt.lambda_mask,
+        lambda_smooth=opt.lambda_smooth, lambda_bilateral=opt.lambda_bilateral,
+        lambda_arap=opt.lambda_arap, lambda_kl=opt.lambda_kl,
+        lambda_ga1=opt.lambda_ga1, lambda_ga2=opt.lambda_ga2,
+        add_depth=opt.add_depth, add_normal=opt.add_normal,
+        add_ga=opt.add_ga, ga_chamfer=opt.ga_chamfer, use_arap=opt.use_arap,
+        vae=opt.vae_latent,
+        depth_reg_start_iter=opt.depth_reg_start_iter,
+        normal_reg_start_iter=opt.normal_reg_start_iter,
+        arap_start_iter_s1=opt.arap_start_iter_s1,
+        arap_end_iter_s2=opt.arap_end_iter_s2,
+        position_lr_init=pos_init, position_lr_final=pos_final,
+        position_lr_max_steps=pos_max,
+        c_position_lr_init=opt.c_position_lr_init,
+        c_position_lr_final=opt.c_position_lr_final,
+        latent_code_lr_init=opt.latent_code_lr_init,
+        latent_code_lr_final=opt.latent_code_lr_final,
+        deform_lr_init=opt.deform_lr_init, deform_lr_final=opt.deform_lr_final,
+        feature_lr=opt.feature_lr, opacity_lr=opt.opacity_lr,
+        scaling_lr=opt.scaling_lr, rotation_lr=opt.rotation_lr,
+        c_radius_lr=opt.c_radius_lr, r_lr=opt.r_lr,
+    )
+
+
+def render_resolution_for_step(step: int) -> int:
+    """128 -> 256 -> 512 at steps 300/450 (`main_train_dimo.py:263`)."""
+    return 128 if step < 300 else (256 if step < 450 else 512)
+
+
+class Trainer:
+    """Owns data, model state, and the stage loops."""
+
+    def __init__(self, opt, images: np.ndarray, masks: np.ndarray, meta: dict,
+                 log_fn=None):
+        """images: uint8 (M, V, F, S, S, 3); masks: uint8 (M, V, F, S, S).
+        meta: azimuths / elevations / input_videos (io.dataset.load_info)."""
+        self.opt = opt
+        self.images = images
+        self.masks = masks
+        self.meta = meta
+        self.input_videos = meta["input_videos"]
+        self.azimuths = meta["azimuths"]
+        self.num_motions = len(self.input_videos)
+        self.num_views = int(opt.get("num_views", 9))
+        self.num_frames = int(opt.get("num_frames", 21))
+        self.log_fn = log_fn or (lambda *a, **k: None)
+
+        self.fovy = np.deg2rad(opt.fovy)
+        oc = cameras.OrbitCamera(opt.W, opt.H, r=opt.radius, fovy=opt.fovy)
+        self.fovx = oc.fovx
+        self.cam_near, self.cam_far = oc.near, oc.far
+
+        self.seed = int(opt.seed) if str(opt.seed).isdigit() else 0
+        random.seed(self.seed)
+        np.random.seed(self.seed)
+        self.py_rng = random.Random(self.seed)
+
+        self.stage = "s1"
+        self.step = 0
+        self.cpts_s1 = None            # (M, F, Mc, 3) cached guidance
+        self._step_fns = {}
+        self._densify_fns = {}
+
+        cap_s1 = int(opt.get("capacity_s1", 8192))
+        self.mcfg = G.ModelConfig(
+            sh_degree=opt.sh_degree, latent_dim=opt.latent_code_dim,
+            num_latents=self.num_motions, vae=bool(opt.vae_latent),
+            capacity=cap_s1, cpt_capacity=int(opt.num_cpts),
+            percent_dense=opt.percent_dense)
+        params, aux = G.init_model(self.mcfg, seed=self.seed,
+                                   num_pts=int(opt.num_cpts),
+                                   num_cpts=int(opt.num_cpts))
+        self.state = TrainState(
+            params=params, aux=aux, opt=optim.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=jax.random.PRNGKey(self.seed))
+
+    # ------------------------------------------------------------------
+    # batching
+
+    def camera_for(self, azimuth: float) -> cameras.Camera:
+        pose = cameras.orbit_camera(self.opt.elevation, azimuth, self.opt.radius)
+        return cameras.Camera.from_c2w(pose, self.fovx, self.fovy,
+                                       self.cam_near, self.cam_far)
+
+    def sample_batch(self):
+        """Reference sampling (`main_train_dimo.py:266-270`): batch_size
+        frames x batch_size views x min(2*batch_size, M) motions."""
+        bs = int(self.opt.batch_size)
+        frames = self.py_rng.sample(range(self.num_frames), min(bs, self.num_frames))
+        views = self.py_rng.sample(range(self.num_views), min(bs, self.num_views))
+        n_sel = min(2 * bs, self.num_motions)
+        motions = np.random.choice(self.num_motions, n_sel, replace=False)
+
+        cams, times, lat_idx, mse_w = [], [], [], []
+        gt_img, gt_msk, guidance = [], [], []
+        for m in motions:
+            for v in views:
+                for f in frames:
+                    cams.append(self.camera_for(self.azimuths[v]))
+                    times.append(f / self.num_frames)
+                    lat_idx.append(m)
+                    mse_w.append(1.0 if (v == 0 or f == 0) else 0.5)
+                    gt_img.append(self.images[m, v, f])
+                    gt_msk.append(self.masks[m, v, f])
+                    if self.cpts_s1 is not None:
+                        guidance.append(self.cpts_s1[m, f])
+
+        batch = {
+            "camera": cameras.stack_cameras(cams),
+            "times": jnp.asarray(times, jnp.float32),
+            "latent_idx": jnp.asarray(lat_idx, jnp.int32),
+            "mse_w": jnp.asarray(mse_w, jnp.float32),
+            "gt_image": jnp.asarray(np.stack(gt_img)),
+            "gt_mask": jnp.asarray(np.stack(gt_msk)),
+        }
+        if self.cpts_s1 is not None:
+            batch["guidance"] = jnp.asarray(np.stack(guidance))
+        else:
+            mc = self.state.params.c_xyz.shape[0]
+            batch["guidance"] = jnp.zeros((len(times), mc, 3))
+        return batch, (n_sel, len(views), len(frames))
+
+    # ------------------------------------------------------------------
+    # step functions (cached per (stage, resolution, batch shape))
+
+    def get_step_fn(self, stage, res, shape, lpips_fn=None):
+        key = (stage, res, shape)
+        if key not in self._step_fns:
+            lcfg = loss_config_from_opt(self.opt, stage)
+            n_motions, n_views, n_frames = shape
+            self._step_fns[key] = make_train_step(
+                self.mcfg, lcfg, stage, res, res,
+                n_motions, n_views, n_frames,
+                capacity=int(self.opt.get("tile_capacity", 1024)),
+                lpips_fn=lpips_fn,
+                use_guidance=(stage >= "s2"))
+        return self._step_fns[key]
+
+    # ------------------------------------------------------------------
+    # training
+
+    def train_dynamic(self, iters_s1: int, iters_s2: int, load_stage: str = "",
+                      lpips_fn=None):
+        if load_stage >= "s1":
+            iters_s1 = 0
+        if load_stage >= "s2":
+            iters_s2 = 0
+        if load_stage:
+            self.load_checkpoint(load_stage)
+
+        if iters_s1 > 0:
+            self.prepare_train_s1()
+            for _ in range(iters_s1):
+                self.train_step_once(lpips_fn)
+            self.finish_s1()
+
+        if iters_s2 > 0:
+            self.prepare_train_s2()
+            for _ in range(iters_s2):
+                self.train_step_once(lpips_fn)
+            self.finish_s2()
+
+    def train_step_once(self, lpips_fn=None):
+        opt = self.opt
+        self.step += 1
+        res = render_resolution_for_step(self.step)
+        batch, shape = self.sample_batch()
+        step_fn = self.get_step_fn(self.stage, res, shape, lpips_fn)
+        self.state, metrics = step_fn(self.state, batch)
+        self.log_fn(self.stage, self.step, metrics)
+
+        # checkpoint cadence
+        if self.step % int(opt.save_inter) == 0:
+            self.save_checkpoint(self.stage, step=self.step)
+
+        # densify / prune cadence (reference `main_train_dimo.py:426-443`)
+        if self.stage == "s1":
+            if self.step % int(opt.FPS_iter) == 0:
+                self._apply_fps()
+            in_window = (self.step % int(opt.FPS_iter) >= int(opt.density_start_iter)
+                         and self.step <= int(opt.density_end_iter))
+            if in_window and self.step % int(opt.densification_interval) == 0:
+                self._apply_densify_prune()
+            if in_window and self.step % int(opt.opacity_reset_interval) == 0:
+                self._apply_opacity_reset()
+        elif self.stage == "s2" and self.step < int(opt.density_end_iter_s2):
+            if (self.step % int(opt.densification_interval_s2) == 0
+                    and opt.init_type == "ag"):
+                self._apply_prune_only()
+
+    # ------------------------------------------------------------------
+    # densification wrappers (jitted per stage)
+
+    def _densify_fn(self, name):
+        key = (name, self.stage, self.mcfg)
+        if key not in self._densify_fns:
+            stage = self.stage
+            cfg = self.mcfg
+            opt = self.opt
+            if name == "densify_prune":
+                @jax.jit
+                def fn(params, aux, mu, nu, rng):
+                    return G.densify_and_prune(
+                        cfg, params, aux, (mu, nu), rng, stage,
+                        max_grad=opt.densify_grad_threshold,
+                        min_opacity=opt.densify_opacity_threshold_s1,
+                        extent=4.0, max_screen_size=1.0)
+            elif name == "prune_only":
+                @jax.jit
+                def fn(params, aux):
+                    return G.prune_only(
+                        cfg, params, aux, stage,
+                        min_opacity=opt.densify_opacity_threshold_s2,
+                        extent=4.0, max_screen_size=1.0)
+            elif name == "fps":
+                num = int(opt.num_cpts)
+                @jax.jit
+                def fn(params, aux):
+                    return G.fps_anneal(params, aux, num)
+            elif name == "reset_opacity":
+                @jax.jit
+                def fn(params, mu, nu):
+                    return G.reset_opacity(params, (mu, nu))
+            self._densify_fns[key] = fn
+        return self._densify_fns[key]
+
+    def _apply_densify_prune(self):
+        s = self.state
+        rng, sub = jax.random.split(s.rng)
+        params, aux, (mu, nu) = self._densify_fn("densify_prune")(
+            s.params, s.aux, s.opt.mu, s.opt.nu, sub)
+        self.state = s.replace(params=params, aux=aux,
+                               opt=s.opt.replace(mu=mu, nu=nu), rng=rng)
+        n = int(G.num_active(aux))
+        print(f"Num of gaussians: {n}")
+        if n > 0.9 * self.mcfg.capacity:
+            self._grow_capacity(self.mcfg.capacity * 2)
+
+    def _apply_prune_only(self):
+        s = self.state
+        params, aux = self._densify_fn("prune_only")(s.params, s.aux)
+        self.state = s.replace(params=params, aux=aux)
+        print(f"Num of gaussians after pruning: {int(G.num_active(aux))}")
+
+    def _apply_fps(self):
+        s = self.state
+        params, aux = self._densify_fn("fps")(s.params, s.aux)
+        self.state = s.replace(params=params, aux=aux)
+
+    def _apply_opacity_reset(self):
+        s = self.state
+        params, (mu, nu) = self._densify_fn("reset_opacity")(
+            s.params, s.opt.mu, s.opt.nu)
+        self.state = s.replace(params=params, opt=s.opt.replace(mu=mu, nu=nu))
+
+    def _grow_capacity(self, new_cap: int):
+        """Pad all per-gaussian arrays to a larger capacity (host-side;
+        triggers re-jit of the step functions)."""
+        print(f"[capacity] growing {self.mcfg.capacity} -> {new_cap}")
+        old = self.mcfg.capacity
+        pad = new_cap - old
+
+        def pad_leaf(x, fill=0.0):
+            x = np.asarray(x)
+            out = np.full((new_cap,) + x.shape[1:], fill, x.dtype)
+            out[:old] = x
+            return jnp.asarray(out)
+
+        s = self.state
+        p = s.params
+        params = p.replace(
+            xyz=pad_leaf(p.xyz), features_dc=pad_leaf(p.features_dc),
+            features_rest=pad_leaf(p.features_rest),
+            scaling=pad_leaf(p.scaling, -10.0),
+            rotation=jnp.asarray(np.concatenate(
+                [np.asarray(p.rotation),
+                 np.tile([1, 0, 0, 0], (pad, 1)).astype(np.float32)])),
+            opacity=pad_leaf(p.opacity, -10.0))
+        aux = s.aux.replace(
+            active=pad_leaf(s.aux.active, False),
+            max_radii2d=pad_leaf(s.aux.max_radii2d),
+            xyz_grad_accum=pad_leaf(s.aux.xyz_grad_accum),
+            denom=pad_leaf(s.aux.denom))
+
+        def pad_moments(m):
+            return m.replace(**{
+                name: pad_leaf(getattr(m, name))
+                for name in ("xyz", "features_dc", "features_rest", "scaling",
+                             "rotation", "opacity")})
+
+        opt_state = s.opt.replace(mu=pad_moments(s.opt.mu),
+                                  nu=pad_moments(s.opt.nu))
+        self.mcfg = G.ModelConfig(**{**dataclass_asdict(self.mcfg),
+                                     "capacity": new_cap})
+        self.state = TrainState(params=params, aux=aux, opt=opt_state,
+                                step=s.step, rng=s.rng)
+        self._step_fns.clear()
+        self._densify_fns.clear()
+
+    # ------------------------------------------------------------------
+    # stage transitions
+
+    def prepare_train_s1(self):
+        self.stage = "s1"
+        self.step = 0
+        self.state = self.state.replace(step=jnp.zeros((), jnp.int32))
+
+    def finish_s1(self):
+        """prune_s1_end + save (reference `main_train_dimo.py:199-206`)."""
+        s = self.state
+        op = jax.nn.sigmoid(np.asarray(s.params.opacity))[:, 0]
+        keep = np.asarray(s.aux.active) & (op >= 0.01)
+        self.state = s.replace(aux=s.aux.replace(active=jnp.asarray(keep)))
+        print("Num of cpts after s1: ", int(keep.sum()))
+        self.save_checkpoint("s1")
+
+    def prepare_train_s2(self):
+        """Copy s1 blob into control points, AG-init dense Gaussians, fresh
+        optimizer (reference `prepare_train_s2`, `main_train_dimo.py:471-500`
+        + trajectory caching at `:231-244`)."""
+        s = self.state
+        p = s.params
+        active = np.asarray(s.aux.active)
+        idx = np.where(active)[0]
+        k = len(idx)
+
+        cpt_cap = max(int(self.opt.num_cpts), k)
+        n_per = int(self.opt.get("num_pts_per_cpt", 200))
+        cap_s2 = _round_up(k * n_per, 2048)
+
+        r_val = float(np.asarray(p.r)[0, 0])
+        c_xyz = np.zeros((cpt_cap, 3), np.float32)
+        c_xyz[:k] = np.asarray(p.xyz)[idx]
+        c_radius = np.full((cpt_cap, 1), r_val, np.float32)
+        c_active = np.zeros((cpt_cap,), bool)
+        c_active[:k] = True
+
+        self.mcfg = G.ModelConfig(
+            sh_degree=self.mcfg.sh_degree, latent_dim=self.mcfg.latent_dim,
+            num_latents=self.mcfg.num_latents, vae=self.mcfg.vae,
+            capacity=cap_s2, cpt_capacity=cpt_cap,
+            percent_dense=self.mcfg.percent_dense)
+
+        params2, aux2 = G._blank(self.mcfg)
+        params2 = params2.replace(
+            c_xyz=jnp.asarray(c_xyz), c_radius=jnp.asarray(c_radius),
+            r=p.r, latent=p.latent, timenet=p.timenet)
+        aux2 = aux2.replace(c_active=jnp.asarray(c_active))
+        if self.opt.init_type == "ag":
+            params2, aux2 = G.initialize_ag(
+                self.mcfg, params2, aux2, seed=self.seed,
+                num_pts_per_cpt=n_per, init_ratio=self.opt.init_ratio)
+        else:
+            rng = np.random.RandomState(self.seed)
+            pts = G._random_ball(rng, int(self.opt.num_pts), 0.5)
+            from dimo_tpu.ops import sh as sh_ops
+            colors = sh_ops.sh_to_rgb(
+                rng.random((pts.shape[0], 3)).astype(np.float32) / 255.0)
+            params2, aux2 = G.set_points_from_cloud(self.mcfg, params2, aux2,
+                                                    pts, colors)
+        aux2 = aux2.replace(c_active=jnp.asarray(c_active))
+
+        self.state = TrainState(
+            params=params2, aux=aux2, opt=optim.init(params2),
+            step=jnp.zeros((), jnp.int32), rng=s.rng)
+        self.stage = "s2"
+        self.step = 0
+        self._step_fns.clear()
+        self._densify_fns.clear()
+        self.cache_s1_trajectories()
+
+    def cache_s1_trajectories(self):
+        """Cache per-motion control point trajectories for guidance
+        (reference `main_train_dimo.py:231-244`)."""
+        p = self.state.params
+        mc = p.c_xyz.shape[0]
+        F = self.num_frames
+
+        @jax.jit
+        def traj(latent_codes_idx, t):
+            lat = G.sample_latent(p, latent_codes_idx, None)
+            d, _ = timenet_mod.apply_timenet(p.timenet, p.c_xyz, t, lat)
+            return p.c_xyz + d
+
+        out = np.zeros((self.num_motions, F, mc, 3), np.float32)
+        for m in range(self.num_motions):
+            for f in range(F):
+                out[m, f] = np.asarray(traj(m, f / F))
+        self.cpts_s1 = out
+
+    def finish_s2(self):
+        self.save_checkpoint("s2")
+
+    # ------------------------------------------------------------------
+    # checkpoint IO (reference directory layout)
+
+    def save_checkpoint(self, stage: str, step=None):
+        save_path = os.path.join(self.opt.save_path, stage)
+        os.makedirs(save_path, exist_ok=True)
+        s = self.state
+        p = s.params
+        active = np.asarray(s.aux.active)
+        idx = np.where(active)[0]
+        suffix = f"_{step}" if step else ""
+
+        if stage == "s1":
+            scale = np.broadcast_to(np.asarray(p.r), (len(idx), 3))
+        else:
+            scale = np.asarray(p.scaling)[idx]
+        ply_io.save_gaussians(
+            os.path.join(save_path, f"point_cloud{suffix}.ply"),
+            np.asarray(p.xyz)[idx], np.asarray(p.features_dc)[idx],
+            np.asarray(p.features_rest)[idx], np.asarray(p.opacity)[idx],
+            scale, np.asarray(p.rotation)[idx])
+        if stage >= "s2":
+            c_idx = np.where(np.asarray(s.aux.c_active))[0]
+            ply_io.save_control_points(
+                os.path.join(save_path, f"point_cloud_c{suffix}.ply"),
+                np.asarray(p.c_xyz)[c_idx], np.asarray(p.c_radius)[c_idx])
+        ckpt_io.save_model(save_path, jax.tree.map(np.asarray, p.latent),
+                           jax.tree.map(np.asarray, p.timenet), step=step)
+
+    def load_checkpoint(self, stage: str, step=None):
+        load_path = os.path.join(self.opt.save_path, stage)
+        suffix = f"_{step}" if step else ""
+        g = ply_io.load_gaussians(
+            os.path.join(load_path, f"point_cloud{suffix}.ply"),
+            self.mcfg.sh_degree)
+        n = g["xyz"].shape[0]
+        cap = _round_up(max(n, 1), 2048) if n > self.mcfg.capacity \
+            else self.mcfg.capacity
+        if cap != self.mcfg.capacity:
+            self.mcfg = G.ModelConfig(**{**dataclass_asdict(self.mcfg),
+                                         "capacity": cap})
+        params, aux = G._blank(self.mcfg)
+
+        def fill(base, rows):
+            out = np.asarray(base).copy()
+            out[:n] = rows
+            return jnp.asarray(out)
+
+        params = params.replace(
+            xyz=fill(params.xyz, g["xyz"]),
+            features_dc=fill(params.features_dc, g["features_dc"]),
+            features_rest=fill(params.features_rest, g["features_rest"]),
+            scaling=fill(params.scaling, g["scaling"]),
+            rotation=fill(params.rotation, g["rotation"]),
+            opacity=fill(params.opacity, g["opacity"]))
+        active = np.zeros((self.mcfg.capacity,), bool)
+        active[:n] = True
+        aux = aux.replace(active=jnp.asarray(active))
+
+        cpath = os.path.join(load_path, f"point_cloud_c{suffix}.ply")
+        if stage >= "s2" and os.path.exists(cpath):
+            c = ply_io.load_control_points(cpath)
+            kc = c["c_xyz"].shape[0]
+            cpt_cap = max(self.mcfg.cpt_capacity, kc)
+            c_xyz = np.zeros((cpt_cap, 3), np.float32)
+            c_xyz[:kc] = c["c_xyz"]
+            c_rad = np.full((cpt_cap, 1), -5.0, np.float32)
+            c_rad[:kc] = c["c_radius"]
+            c_act = np.zeros((cpt_cap,), bool)
+            c_act[:kc] = True
+            params = params.replace(c_xyz=jnp.asarray(c_xyz),
+                                    c_radius=jnp.asarray(c_rad))
+            aux = aux.replace(c_active=jnp.asarray(c_act))
+        else:
+            # s1 checkpoint: gaussians ARE the cpts
+            cpt_cap = self.mcfg.cpt_capacity
+            kc = min(n, cpt_cap)
+            c_xyz = np.zeros((cpt_cap, 3), np.float32)
+            c_xyz[:kc] = g["xyz"][:kc]
+            c_act = np.zeros((cpt_cap,), bool)
+            c_act[:kc] = True
+            params = params.replace(c_xyz=jnp.asarray(c_xyz))
+            aux = aux.replace(c_active=jnp.asarray(c_act))
+
+        latent, timenet = ckpt_io.load_model(load_path, step=step,
+                                             vae=self.mcfg.vae)
+        params = params.replace(latent=latent, timenet=timenet)
+        self.state = TrainState(
+            params=params, aux=aux, opt=optim.init(params),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(self.seed))
+        self._step_fns.clear()
+        self._densify_fns.clear()
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def dataclass_asdict(dc):
+    import dataclasses
+    return {f.name: getattr(dc, f.name) for f in dataclasses.fields(dc)}

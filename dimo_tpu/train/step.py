@@ -1,0 +1,356 @@
+"""The jitted training step: batched renders, loss assembly, Adam update.
+
+The reference's hot loop (`main_train_dimo.py:221-451`) renders up to
+16 (motion, view, frame) jobs SERIALLY in Python, then backprops once. Here
+the whole step is ONE jitted function: renders are vmapped over the batch
+axis (the natural TPU parallel axis — see parallel/ for the sharded variant),
+losses are assembled in-graph, gradients flow through the Pallas rasterizer
+VJP, and the per-group Adam update runs on-device. Host sees only metrics.
+
+Loss parity (`main_train_dimo.py:327-390`):
+  * per-image weighted MSE (ref view/frame x1, others x0.5) * lambda_mse
+  * per-motion LPIPS / SSIM / mask-MSE
+  * VAE KL per motion
+  * edge-aware depth + bilateral normal smoothness (step-gated)
+  * ARAP on the deformed node graph (stage-gated)
+  * chamfer guidance of cpts to cached stage-1 trajectories (s2)
+Step-dependent gates are jnp.where weights so the step never recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dimo_tpu.models import gaussians as G
+from dimo_tpu.models import timenet as timenet_mod
+from dimo_tpu.models.renderer import render, find_knn
+from dimo_tpu.ops import arap as arap_mod
+from dimo_tpu.ops import image_losses as L
+from dimo_tpu.ops import neighbors
+from dimo_tpu.train import optim
+from dimo_tpu.utils import schedules
+
+
+@struct.dataclass
+class TrainState:
+    params: G.GaussianParams
+    aux: G.GaussianAux
+    opt: optim.AdamState
+    step: jnp.ndarray  # () int32, current stage-local step (1-based after update)
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss/schedule hyper-parameters (YAML keys preserved)."""
+    lambda_mse: float = 5000.0
+    lambda_lpips: float = 1000.0
+    lambda_ssim: float = 500.0
+    lambda_mask: float = 500.0
+    lambda_smooth: float = 100.0
+    lambda_bilateral: float = 0.05
+    lambda_arap: float = 10.0
+    lambda_kl: float = 0.05
+    lambda_ga1: float = 10.0
+    lambda_ga2: float = 10000.0
+    add_depth: bool = True
+    add_normal: bool = True
+    add_ga: bool = True
+    ga_chamfer: bool = True
+    use_arap: bool = True
+    vae: bool = False
+    depth_reg_start_iter: int = 200
+    normal_reg_start_iter: int = 200
+    arap_start_iter_s1: int = 1000
+    arap_end_iter_s2: int = 2000
+    # optimizer schedule params
+    position_lr_init: float = 0.01
+    position_lr_final: float = 0.0002
+    position_lr_max_steps: int = 500
+    c_position_lr_init: float = 0.000002
+    c_position_lr_final: float = 0.000002
+    latent_code_lr_init: float = 0.005
+    latent_code_lr_final: float = 0.0002
+    deform_lr_init: float = 0.0002
+    deform_lr_final: float = 0.000002
+    feature_lr: float = 0.01
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.005
+    c_radius_lr: float = 0.005
+    r_lr: float = 0.01
+    arap_t_samples: int = 8
+    arap_radius: float = 0.1
+
+
+def group_lrs(lcfg: LossConfig, step, stage: str,
+              trainable_groups: frozenset | None = None):
+    """Per-group LR dict at `step` — reference update_learning_rate semantics
+    (`latent_gs_renderer.py:497-515` + driver overrides at
+    `main_train_dimo.py:251-254,464-469` and `prepare_train_s2:471-500`)."""
+    xyz_sched = schedules.expon_lr(lcfg.position_lr_init, lcfg.position_lr_final,
+                                   max_steps=lcfg.position_lr_max_steps)
+    c_sched = schedules.expon_lr(lcfg.c_position_lr_init, lcfg.c_position_lr_final,
+                                 max_steps=lcfg.position_lr_max_steps)
+    lat_sched = schedules.expon_lr(lcfg.latent_code_lr_init, lcfg.latent_code_lr_final,
+                                   max_steps=lcfg.position_lr_max_steps)
+    def_sched = schedules.expon_lr(lcfg.deform_lr_init, lcfg.deform_lr_final,
+                                   max_steps=lcfg.position_lr_max_steps)
+    z = jnp.zeros(())
+    if stage == "s1":
+        lrs = {
+            "xyz": xyz_sched(step),
+            "f_dc": lcfg.feature_lr, "f_rest": lcfg.feature_lr / 20.0,
+            "opacity": lcfg.opacity_lr, "scaling": lcfg.scaling_lr,
+            "rotation": lcfg.rotation_lr,
+            "latent_code": lcfg.latent_code_lr_init,
+            "latent_code_mu": lcfg.latent_code_lr_init,
+            "latent_code_log_var": lcfg.latent_code_lr_init,
+            "deform": lcfg.deform_lr_init, "deform_rot": lcfg.deform_lr_init,
+            "c_xyz": z, "c_radius": z, "r": lcfg.r_lr,
+        }
+    else:
+        xyz_lr = jnp.where(step < 1000, 0.0002, xyz_sched(step))
+        lrs = {
+            "xyz": xyz_lr,
+            "f_dc": lcfg.feature_lr, "f_rest": lcfg.feature_lr / 20.0,
+            "opacity": lcfg.opacity_lr, "scaling": lcfg.scaling_lr,
+            "rotation": lcfg.rotation_lr,
+            "latent_code": lat_sched(step),
+            "latent_code_mu": lat_sched(step),
+            "latent_code_log_var": lat_sched(step),
+            "deform": def_sched(step), "deform_rot": def_sched(step),
+            "c_xyz": c_sched(step), "c_radius": lcfg.c_radius_lr, "r": z,
+        }
+    if trainable_groups is not None:
+        # test-time finetuning: zero every group not in the set, and drive
+        # latent groups by the latent scheduler (reference prepare_ft_latent +
+        # finetune_latent, `main_test_dimo.py:895-925`)
+        latents = {"latent_code", "latent_code_mu", "latent_code_log_var"}
+        lrs = {k: ((lat_sched(step) if k in latents else lrs[k])
+                   if k in trainable_groups else z) for k in lrs}
+    return lrs
+
+
+def make_train_step(
+    cfg: G.ModelConfig,
+    lcfg: LossConfig,
+    stage: str,
+    width: int,
+    height: int,
+    n_motions: int,
+    n_views: int,
+    n_frames: int,
+    capacity: int = 1024,
+    use_oracle: bool = False,
+    lpips_fn: Callable | None = None,
+    use_guidance: bool = False,
+    trainable_groups: frozenset | None = None,
+) -> Callable:
+    """Build the jitted step for a fixed (stage, resolution, batch shape).
+
+    Batch dict (device arrays; leading axis B = n_motions*n_views*n_frames,
+    ordered motion-major then view then frame):
+      cam_*: stacked Camera fields (B, ...)
+      times (B,), latent_idx (B,) int32, mse_w (B,) per-image MSE weight
+      gt_image (B, 3, H, W) at render res; gt_mask (B, 1, H, W)
+      guidance (n_motions*n_frames... flattened per-render) (B, M, 3) cached
+        s1 cpts trajectories (s2 only; zeros otherwise)
+    """
+    B = n_motions * n_views * n_frames
+    bg = jnp.ones((3,))
+
+    def loss_fn(params, taps, aux, batch, rng, step):
+        cams = batch["camera"]
+        rngs = jax.random.split(rng, B + n_motions)
+        render_rngs = rngs[:B] if lcfg.vae else [None] * B
+        arap_rng = rngs[B]
+
+        knn_cache = find_knn(params, aux) if stage >= "s2" else None
+
+        def one(cam, t, li, tap, krng):
+            return render(cfg, params, aux, cam, t, stage, li, width, height,
+                          bg, rng=krng, knn_cache=knn_cache, capacity=capacity,
+                          mean2d_tap=tap, use_oracle=use_oracle)
+
+        if lcfg.vae:
+            outs = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+                cams, batch["times"], batch["latent_idx"], taps,
+                jnp.stack(render_rngs))
+        else:
+            outs = jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
+                cams, batch["times"], batch["latent_idx"], taps, None)
+
+        imgs = outs["image"]                                  # (B, 3, h, w)
+        masks = outs["alpha"]
+        # GT arrives uint8 at ref_size; convert+bilinear-resize on device
+        # (reference F.interpolate align_corners=False ~ jax half-pixel linear)
+        gt_full = batch["gt_image"].astype(jnp.float32) / 255.0   # (B,S,S,3)
+        gt = jnp.transpose(jax.image.resize(
+            gt_full, (B, height, width, 3), "linear"), (0, 3, 1, 2))
+        gt_m_full = batch["gt_mask"].astype(jnp.float32) / 255.0  # (B,S,S)
+        gt_m = jax.image.resize(
+            gt_m_full, (B, height, width), "linear")[:, None]
+
+        # --- weighted per-image MSE
+        per_img_mse = jnp.mean((imgs - gt) ** 2, axis=(1, 2, 3))    # (B,)
+        mse_term = lcfg.lambda_mse * jnp.sum(batch["mse_w"] * per_img_mse)
+
+        # --- per-motion SSIM / LPIPS / mask (motion-major batch layout)
+        def per_motion(x):
+            return x.reshape(n_motions, n_views * n_frames, *x.shape[1:])
+
+        imgs_m = per_motion(imgs)
+        gt_m_imgs = per_motion(gt)
+        ssim_losses = jax.vmap(
+            lambda a, b: 1.0 - L.ssim(jnp.transpose(a, (0, 2, 3, 1)),
+                                      jnp.transpose(b, (0, 2, 3, 1))))(
+            imgs_m, gt_m_imgs)                                # (n_motions,)
+        ssim_term = lcfg.lambda_ssim * jnp.sum(ssim_losses)
+
+        if lpips_fn is not None:
+            lp = jax.vmap(lambda a, b: jnp.mean(lpips_fn(a, b)))(
+                imgs_m, gt_m_imgs)
+            lpips_term = lcfg.lambda_lpips * jnp.sum(lp)
+        else:
+            lp = jnp.zeros((n_motions,))
+            lpips_term = 0.0
+
+        mask_losses = jax.vmap(lambda a, b: jnp.mean((a - b) ** 2))(
+            per_motion(masks), per_motion(gt_m))
+        mask_term = lcfg.lambda_mask * jnp.sum(mask_losses)
+
+        loss = mse_term + ssim_term + lpips_term + mask_term
+
+        # --- VAE KL per motion
+        kl = jnp.zeros(())
+        if lcfg.vae:
+            m_idx = batch["latent_idx"].reshape(
+                n_motions, n_views * n_frames)[:, 0]
+            mu = params.latent["mu"][m_idx]
+            log_var = params.latent["log_var"][m_idx]
+            kl = jnp.sum(-0.5 * jnp.sum(
+                1 + log_var - mu ** 2 - jnp.exp(log_var), axis=-1))
+            loss = loss + lcfg.lambda_kl * kl
+
+        # --- depth / normal regularizers (step gates as weights)
+        depth_gate = (step > lcfg.depth_reg_start_iter).astype(jnp.float32)
+        normal_gate = (step > lcfg.normal_reg_start_iter).astype(jnp.float32)
+        smooth_l = jnp.zeros(())
+        if lcfg.add_depth:
+            d_nhwc = jnp.transpose(outs["depth"], (0, 2, 3, 1))
+            i_nhwc = jnp.transpose(imgs, (0, 2, 3, 1))
+            dd = jax.vmap(L.edge_aware_smoothness)(
+                per_motion(d_nhwc), per_motion(i_nhwc))
+            smooth_l = jnp.sum(dd)
+            loss = loss + depth_gate * lcfg.lambda_smooth * smooth_l
+        bilat_l = jnp.zeros(())
+        if lcfg.add_normal:
+            n_nhwc = jnp.transpose(outs["normal"], (0, 2, 3, 1))
+            i_nhwc = jnp.transpose(imgs, (0, 2, 3, 1))
+            bb = jax.vmap(L.bilateral_normal_smoothness)(
+                per_motion(n_nhwc), per_motion(i_nhwc))
+            bilat_l = jnp.sum(bb)
+            loss = loss + normal_gate * lcfg.lambda_bilateral * bilat_l
+
+        # --- ARAP per motion in batch
+        arap_l = jnp.zeros(())
+        if lcfg.use_arap and trainable_groups is None:
+            if stage == "s1":
+                arap_gate = (step > lcfg.arap_start_iter_s1).astype(jnp.float32)
+                base = params.xyz
+                node_valid = aux.active
+            else:
+                arap_gate = (step < lcfg.arap_end_iter_s2).astype(jnp.float32)
+                base = params.c_xyz
+                node_valid = aux.c_active
+            m_idx = batch["latent_idx"].reshape(
+                n_motions, n_views * n_frames)[:, 0]
+            q_times = jax.random.uniform(arap_rng, (lcfg.arap_t_samples,))
+
+            def arap_for_motion(li):
+                lat = G.sample_latent(params, li, None)
+                d_xyz_t, _ = jax.vmap(
+                    lambda t: timenet_mod.apply_timenet(
+                        params.timenet, base, t, lat))(q_times)
+                return arap_mod.arap_loss(base, d_xyz_t, valid=node_valid,
+                                          radius=lcfg.arap_radius)
+
+            arap_l = jnp.sum(jax.vmap(arap_for_motion)(m_idx))
+            loss = loss + arap_gate * lcfg.lambda_arap * arap_l
+
+        # --- stage-1 trajectory guidance (s2)
+        ga_l = jnp.zeros(())
+        if use_guidance and stage >= "s2" and lcfg.add_ga:
+            cpts_t = outs["cpts_t"]                          # (B, M, 3)
+            guid = batch["guidance"]                          # (B, M, 3)
+            c_valid = aux.c_active
+
+            def one_ga(c, g):
+                if lcfg.ga_chamfer:
+                    return neighbors.chamfer_forward(c, g, x_valid=c_valid)
+                diff = jnp.where(c_valid[:, None], jnp.abs(c - g), 0.0)
+                return jnp.sum(diff) / jnp.maximum(
+                    jnp.sum(c_valid) * 3.0, 1.0)
+
+            ga_each = jax.vmap(one_ga)(cpts_t, jax.lax.stop_gradient(guid))
+            ga_l = jnp.sum(ga_each)
+            lam = lcfg.lambda_ga1 if lcfg.ga_chamfer else lcfg.lambda_ga2
+            loss = loss + lam * ga_l
+
+        metrics = {
+            "loss": loss,
+            "mse": jnp.mean(per_img_mse),
+            "psnr": L.psnr(jnp.mean(per_img_mse)),
+            "ssim_loss": jnp.mean(ssim_losses),
+            "lpips": jnp.mean(lp),
+            "mask_loss": jnp.mean(mask_losses),
+            "kl": kl,
+            "arap": arap_l,
+            "ga": ga_l,
+            "smooth": smooth_l,
+            "bilateral": bilat_l,
+            "overflow": jnp.sum(outs["overflow"]),
+        }
+        vis_aux = {
+            "radii": outs["radii"][-1],
+            "visibility": outs["visibility_filter"][-1],
+        }
+        return loss, (metrics, vis_aux)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        rng, sub = jax.random.split(state.rng)
+        step = state.step + 1
+        n = state.params.xyz.shape[0]
+        taps = jnp.zeros((B, n, 2))
+
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (gparams, gtaps), (metrics, vis_aux) = grad_fn(
+            state.params, taps, state.aux, batch, sub, step)
+
+        lrs = group_lrs(lcfg, step, stage,
+                        trainable_groups=trainable_groups)
+        lr_tree = optim.build_lr_tree(state.params, lrs)
+        new_params, new_opt = optim.update(state.params, gparams, state.opt,
+                                           lr_tree)
+
+        # densification statistics from the LAST render in the batch
+        # (reference: out of the python loop, `main_train_dimo.py:429-431`)
+        new_aux = state.aux
+        if stage == "s1":
+            new_aux = G.update_max_radii(new_aux, vis_aux["radii"],
+                                         vis_aux["visibility"])
+            new_aux = G.add_densification_stats(new_aux, gtaps[-1],
+                                                vis_aux["visibility"])
+
+        new_state = TrainState(params=new_params, aux=new_aux, opt=new_opt,
+                               step=step, rng=rng)
+        return new_state, metrics
+
+    return train_step

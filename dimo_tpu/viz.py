@@ -1,0 +1,133 @@
+"""Visualization/export: trajectory overlays, 3D track plots, video writing.
+
+Parity with the reference's `utils/vis_utils.py` + `src/helpers.py:142-241`
+track rendering and the driver-level imageio/cv2 export calls.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _colormap_jet(n: int) -> np.ndarray:
+    from matplotlib import cm
+    cmap = cm.get_cmap("jet")
+    return np.array([np.array(cmap(i / max(1, float(n - 1)))[:3]) * 255
+                     for i in range(n)], dtype=np.int32)
+
+
+def project_points(pts3d: np.ndarray, full_proj: np.ndarray,
+                   width: int, height: int) -> np.ndarray:
+    """(N,3) world points -> (N,2) pixel coords via the transposed full-proj
+    (reference `main_train_dimo.py:675-679`)."""
+    hom = np.concatenate([pts3d, np.ones_like(pts3d[:, :1])], axis=-1)
+    clip = hom @ np.asarray(full_proj)
+    xy = clip[:, :2] / clip[:, 3:4]
+    return (xy + 1.0) / 2.0 * np.array([width, height], np.float32)
+
+
+def trajectory_image(traj_pts: np.ndarray, width: int, height: int,
+                     thickness: int = 1):
+    """Full-trajectory polyline image (reference `main_train_dimo.py:691-703`).
+    traj_pts: (N, F, 2). Returns (rgb_img, alpha_img) float arrays in [0,1]."""
+    import cv2
+    n = traj_pts.shape[0]
+    colors = _colormap_jet(n)
+    alpha_img = np.zeros([height, width, 3])
+    traj_img = np.zeros([height, width, 3])
+    for i in range(n):
+        pts = [traj_pts[i].astype(np.int32)]
+        alpha_img = cv2.polylines(alpha_img, pts, False, [1, 1, 1], thickness)
+        col = colors[i] / 255
+        traj_img = cv2.polylines(traj_img, pts, False,
+                                 [float(col[0]), float(col[1]), float(col[2])],
+                                 thickness)
+    return traj_img, alpha_img
+
+
+def trajectory_frames(traj_pts: np.ndarray, width: int, height: int):
+    """Per-frame growing-trace overlays (reference `:718-727`).
+    traj_pts: (N, F, 2) -> list of F uint8 images."""
+    import cv2
+    n, f, _ = traj_pts.shape
+    colors = _colormap_jet(n)
+    frames = []
+    for fi in range(f):
+        img = np.zeros([height, width, 3])
+        for i in range(n):
+            col = colors[i] / 255
+            c = [float(col[0]), float(col[1]), float(col[2])]
+            img = cv2.polylines(img, [traj_pts[i, :fi + 1].astype(np.int32)],
+                                False, c, 2)
+            img = cv2.circle(img, tuple(traj_pts[i, fi].astype(np.int32)), 2,
+                             c, -1, lineType=cv2.LINE_AA)
+        frames.append((img * 255).astype(np.uint8))
+    return frames
+
+
+def plot_3d_tracks(tracks: np.ndarray, visibles: np.ndarray | None = None,
+                   tracks_leave_trace: int = 8, figsize=(5, 5)) -> np.ndarray:
+    """Matplotlib 3D track video (reference `utils/vis_utils.py:259-314`).
+    tracks: (F, N, 3) -> (F, H, W, 3) uint8."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    f, n, _ = tracks.shape
+    if visibles is None:
+        visibles = np.ones((f, n), bool)
+    colors = _colormap_jet(n) / 255.0
+
+    mins = tracks.reshape(-1, 3).min(0)
+    maxs = tracks.reshape(-1, 3).max(0)
+    frames = []
+    for fi in range(f):
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(projection="3d")
+        ax.set_xlim(mins[0], maxs[0])
+        ax.set_ylim(mins[1], maxs[1])
+        ax.set_zlim(mins[2], maxs[2])
+        start = max(0, fi - tracks_leave_trace)
+        for i in range(n):
+            if visibles[fi, i]:
+                seg = tracks[start:fi + 1, i]
+                ax.plot(seg[:, 0], seg[:, 1], seg[:, 2],
+                        color=colors[i], linewidth=1)
+                ax.scatter(*tracks[fi, i], color=colors[i], s=3)
+        ax.set_axis_off()
+        fig.canvas.draw()
+        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+        w, h = fig.canvas.get_width_height()
+        frames.append(buf.reshape(h, w, 4)[..., :3].copy())
+        plt.close(fig)
+    return np.stack(frames)
+
+
+def write_video(path: str, frames, fps: int = 8) -> None:
+    """mp4 via imageio-ffmpeg when available, else cv2's bundled codec
+    (this image ships no ffmpeg plugin), else a .gif fallback."""
+    frames = [np.asarray(f) for f in frames]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        import imageio
+        imageio.mimwrite(path, frames, fps=fps, quality=8, macro_block_size=1)
+        return
+    except Exception:
+        pass
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if vw.isOpened():
+            for f in frames:
+                if f.ndim == 2:
+                    f = np.repeat(f[..., None], 3, -1)
+                vw.write(f[..., ::-1])  # RGB -> BGR
+            vw.release()
+            return
+    except Exception:
+        pass
+    import imageio
+    imageio.mimwrite(os.path.splitext(path)[0] + ".gif", frames,
+                     duration=1000.0 / fps)

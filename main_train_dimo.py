@@ -1,0 +1,96 @@
+"""DIMO-TPU training entry point.
+
+CLI-compatible with the reference `main_train_dimo.py`:
+
+    python main_train_dimo.py --config configs/train_config.yaml \
+        train_dynamic=True input_folder=... save_path=... key=value ...
+
+Differences from the reference driver (deliberate, TPU-first):
+  * the per-step (motion, view, frame) renders run as ONE jitted batched
+    step on device instead of a serial Python loop;
+  * rembg matting is offline preprocessing (scripts/precompute_masks.py);
+  * `input_folder=synthetic` trains on a generated synthetic dataset
+    (useful for smoke tests without the Trump-n51 download).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="./configs/train_config.yaml",
+                        type=str, help="path to the yaml config file")
+    args, extras = parser.parse_known_args()
+
+    from dimo_tpu.io.config import load_config, save_config
+    opt = load_config(args.config, extras)
+
+    import numpy as np
+    from dimo_tpu.io import dataset as dataset_io
+    from dimo_tpu.io import synthetic as synth_io
+    from dimo_tpu.train.loop import Trainer
+
+    num_views = int(opt.get("num_views", 9))
+    num_frames = int(opt.get("num_frames", 21))
+
+    if opt.input_folder == "synthetic":
+        images, masks, meta = synth_io.make_synthetic_videos(
+            num_motions=int(opt.get("synthetic_motions", 2)),
+            num_views=num_views, num_frames=num_frames,
+            ref_size=int(opt.ref_size), seed=int(opt.seed or 0),
+            fovy_deg=float(opt.fovy), radius=float(opt.radius))
+    else:
+        meta = dataset_io.load_info(opt.input_folder, num_views, num_frames,
+                                    opt.elevation, opt.input_videos)
+        print(f"[INFO] loading {len(meta['input_videos'])} motion videos ...")
+        if opt.train_dynamic:
+            images, masks = dataset_io.load_videos(
+                opt.input_folder, meta["input_videos"], num_views, num_frames,
+                int(opt.ref_size))
+        else:
+            m = len(meta["input_videos"])
+            s = int(opt.ref_size)
+            images = np.zeros((m, num_views, num_frames, s, s, 3), np.uint8)
+            masks = np.zeros((m, num_views, num_frames, s, s), np.uint8)
+
+    # tensorboard
+    log_fn = None
+    if opt.train_dynamic and opt.save_path:
+        os.makedirs(opt.save_path, exist_ok=True)
+        save_config(opt, os.path.join(opt.save_path, "config.yaml"))
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(log_dir=os.path.join(opt.save_path, "tb"))
+
+            def log_fn(stage, step, metrics):
+                if step % 10 == 0:
+                    for k, v in metrics.items():
+                        tb.add_scalar(f"{stage}/{k}", float(v), step)
+                if step % 100 == 0:
+                    print(f"[{stage} {step}] loss={float(metrics['loss']):.4f} "
+                          f"psnr={float(metrics['psnr']):.2f}")
+        except ImportError:
+            pass
+
+    trainer = Trainer(opt, images, masks, meta, log_fn=log_fn)
+
+    lpips_fn = None
+    if opt.get("lpips_weights"):
+        from dimo_tpu.models.lpips import load_lpips
+        lpips_fn = load_lpips(opt.lpips_weights)
+
+    if opt.save_path_new:
+        opt.save_path = opt.save_path_new
+
+    if opt.train_dynamic:
+        trainer.train_dynamic(int(opt.iters_s1), int(opt.iters_s2),
+                              opt.load_stage or "", lpips_fn=lpips_fn)
+    else:
+        from dimo_tpu.test_modes import run_default_test
+        run_default_test(trainer, render_type=opt.render_type)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""LBS blend + ARAP regularizer tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dimo_tpu.models import deform
+from dimo_tpu.ops import arap, quat
+
+
+class TestLBS:
+    def test_identity_deformation_is_noop(self):
+        rng = np.random.RandomState(0)
+        n, m = 20, 6
+        xyz = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        rot = jnp.asarray(rng.randn(n, 4), jnp.float32)
+        c = jnp.asarray(rng.randn(m, 3), jnp.float32)
+        d_xyz = jnp.zeros((m, 3))
+        d_rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (m, 1))
+        c_rad = jnp.ones((m, 1)) * 0.5
+        d2 = jnp.sum((xyz[:, None] - c[None]) ** 2, -1)
+        idx = jnp.argsort(d2, axis=1)[:, :4]
+        dist = jnp.sqrt(jnp.take_along_axis(d2, idx, 1))
+        pts, out_rot = deform.lbs_blend(xyz, rot, c, d_xyz, d_rot, c_rad,
+                                        idx, dist)
+        np.testing.assert_allclose(pts, xyz, atol=1e-5)
+        np.testing.assert_allclose(out_rot, quat.normalize(rot), atol=1e-5)
+
+    def test_rigid_translation(self):
+        """All cpts translate by v -> all gaussians translate by v."""
+        rng = np.random.RandomState(1)
+        n, m = 15, 5
+        xyz = jnp.asarray(rng.randn(n, 3), jnp.float32)
+        rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+        c = jnp.asarray(rng.randn(m, 3), jnp.float32)
+        v = jnp.asarray([0.3, -0.2, 0.5])
+        d_xyz = jnp.tile(v, (m, 1))
+        d_rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (m, 1))
+        c_rad = jnp.ones((m, 1)) * 0.8
+        d2 = jnp.sum((xyz[:, None] - c[None]) ** 2, -1)
+        idx = jnp.argsort(d2, axis=1)[:, :4]
+        dist = jnp.sqrt(jnp.take_along_axis(d2, idx, 1))
+        pts, _ = deform.lbs_blend(xyz, rot, c, d_xyz, d_rot, c_rad, idx, dist)
+        np.testing.assert_allclose(pts, xyz + v, atol=1e-5)
+
+    def test_weights_sum_to_one(self):
+        d = jnp.asarray(np.random.RandomState(2).rand(10, 4), jnp.float32)
+        r = jnp.asarray(np.random.RandomState(3).rand(10, 4) + 0.1, jnp.float32)
+        w = deform.knn_weights(d, r)
+        np.testing.assert_allclose(jnp.sum(w, -1), 1.0, atol=1e-5)
+
+
+class TestARAP:
+    def _cluster(self, n=24, seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.rand(n, 3).astype(np.float32) * 0.15  # within 0.1-ish radius
+
+    def test_rigid_motion_zero_energy(self):
+        pts = self._cluster()
+        # rigid: rotate + translate every frame
+        frames = [pts]
+        ang = 0.4
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        frames.append(pts @ R.T + np.array([0.3, 0, 0], np.float32))
+        traj = jnp.asarray(np.stack(frames))
+        idx, mask = arap.connectivity_shared(traj, k=6, radius=0.2)
+        err = float(arap.arap_error(traj, idx, mask))
+        assert err < 1e-6
+
+    def test_stretch_positive_energy(self):
+        pts = self._cluster()
+        frames = [pts, pts * 1.8]  # non-rigid scaling
+        traj = jnp.asarray(np.stack(frames))
+        idx, mask = arap.connectivity_shared(traj, k=6, radius=0.4)
+        err = float(arap.arap_error(traj, idx, mask))
+        assert err > 1e-3
+
+    def test_gradient_flows_to_deformation(self):
+        pts = jnp.asarray(self._cluster())
+
+        def f(d):
+            d_xyz_t = jnp.stack([jnp.zeros_like(pts), d])
+            return arap.arap_loss(pts, d_xyz_t, radius=0.4)
+
+        d0 = jnp.asarray(np.random.RandomState(1).randn(*pts.shape) * 0.05,
+                         jnp.float32)
+        g = jax.grad(f)(d0)
+        assert float(jnp.abs(g).sum()) > 0
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_valid_mask_excludes_nodes(self):
+        pts = self._cluster()
+        traj = jnp.asarray(np.stack([pts, pts * 1.5]))
+        valid = jnp.zeros((pts.shape[0],), bool)
+        idx, mask = arap.connectivity_shared(traj, k=6, radius=0.4, valid=valid)
+        assert not bool(jnp.any(mask))
