@@ -19,6 +19,9 @@ import numpy as np
 
 def _write_ply(path: str, names: list[str], columns: np.ndarray) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    from dimo_tpu.io import native
+    if native.available() and native.ply_write(path, names, columns):
+        return
     n = columns.shape[0]
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {n}"]
@@ -34,6 +37,11 @@ def _write_ply(path: str, names: list[str], columns: np.ndarray) -> None:
 
 
 def _read_ply(path: str) -> dict[str, np.ndarray]:
+    from dimo_tpu.io import native
+    if native.available():
+        out = native.ply_read(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         data = f.read()
     end = data.find(b"end_header")

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax  # noqa: F401  (used by local pearson dynamic slices)
 
 
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
@@ -104,6 +105,27 @@ def pearson_depth_loss(render_depth: jnp.ndarray, gt_depth: jnp.ndarray) -> jnp.
     src = src / (jnp.std(src) + 1e-6)
     tgt = tgt / (jnp.std(tgt) + 1e-6)
     return 1.0 - jnp.mean(src * tgt)
+
+
+def local_pearson_depth_loss(render_depth: jnp.ndarray, gt_depth: jnp.ndarray,
+                             rng, box_p: int = 128, p_corr: float = 0.5
+                             ) -> jnp.ndarray:
+    """Patchwise Pearson depth loss (`src/loss.py:34-61`): sample random
+    box_p-sized patches covering ~p_corr of the image, average the
+    per-patch (1 - correlation). Depths are (H, W)."""
+    h, w = render_depth.shape
+    num_h, num_w = h // box_p, w // box_p
+    n_corr = max(1, int(p_corr * num_h * num_w))
+    k1, k2 = jax.random.split(rng)
+    x0 = jax.random.randint(k1, (n_corr,), 0, max(1, h - box_p))
+    y0 = jax.random.randint(k2, (n_corr,), 0, max(1, w - box_p))
+
+    def one(x, y):
+        rp = jax.lax.dynamic_slice(render_depth, (x, y), (box_p, box_p))
+        gp = jax.lax.dynamic_slice(gt_depth, (x, y), (box_p, box_p))
+        return pearson_depth_loss(rp.reshape(-1), gp.reshape(-1))
+
+    return jnp.mean(jax.vmap(one)(x0, y0))
 
 
 def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:

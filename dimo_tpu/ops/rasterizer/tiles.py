@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 TILE_H = 32
@@ -65,15 +66,19 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
           & (tc >= cmin[None, :]) & (tc <= cmax[None, :])
           & (tr >= rmin[None, :]) & (tr <= rmax[None, :]))    # (T, N)
 
-    pos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1        # (T, N)
-    sel = ov & (pos < capacity)
-    tile_ids = jnp.arange(t, dtype=jnp.int32)[:, None]
-    flat = jnp.where(sel, tile_ids * capacity + pos, t * capacity)  # dump slot
-
-    out = jnp.full((t * capacity + 1,), n, dtype=jnp.int32)
-    src = jnp.broadcast_to(order[None, :], (t, n))
-    out = out.at[flat.reshape(-1)].set(src.reshape(-1), mode="drop")
-    idx = out[: t * capacity].reshape(t, capacity)
+    # Stream compaction WITHOUT scatter (XLA scatter serializes on TPU and
+    # dominated the whole rasterizer): the first C depth-ranks overlapping
+    # each tile are exactly top_k of the masked rank array — TPU's top_k is
+    # the fastest primitive for this (measured vs cumsum+searchsorted and
+    # vs sort-with-duplication; see scripts/bench_tilelists.py).
+    ranks = jnp.where(ov, jnp.arange(n, dtype=jnp.int32)[None, :], n)  # (T, N)
+    if capacity > n:  # tiny scenes: pad so top_k's k <= axis size
+        ranks = jnp.concatenate(
+            [ranks, jnp.full((t, capacity - n), n, jnp.int32)], axis=1)
+    neg_rank, _ = jax.lax.top_k(-ranks, capacity)             # ascending ranks
+    rank = -neg_rank                                          # (T, C)
+    valid_slot = rank < n
+    idx = jnp.where(valid_slot, order[jnp.minimum(rank, n - 1)], n)
 
     total = jnp.sum(ov.astype(jnp.int32), axis=1)             # (T,)
     count = jnp.minimum(total, capacity)

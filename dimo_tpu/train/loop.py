@@ -205,7 +205,10 @@ class Trainer:
         batch, shape = self.sample_batch()
         step_fn = self.get_step_fn(self.stage, res, shape, lpips_fn)
         self.state, metrics = step_fn(self.state, batch)
-        self.log_fn(self.stage, self.step, metrics)
+        try:
+            self.log_fn(self.stage, self.step, metrics, trainer=self)
+        except TypeError:
+            self.log_fn(self.stage, self.step, metrics)
 
         # checkpoint cadence
         if self.step % int(opt.save_inter) == 0:

@@ -320,6 +320,8 @@ def make_train_step(
         vis_aux = {
             "radii": outs["radii"][-1],
             "visibility": outs["visibility_filter"][-1],
+            "debug_render": imgs[0],
+            "debug_gt": gt[0],
         }
         return loss, (metrics, vis_aux)
 
@@ -351,6 +353,9 @@ def make_train_step(
 
         new_state = TrainState(params=new_params, aux=new_aux, opt=new_opt,
                                step=step, rng=rng)
+        metrics = dict(metrics)
+        metrics["debug_render"] = vis_aux["debug_render"]
+        metrics["debug_gt"] = vis_aux["debug_gt"]
         return new_state, metrics
 
     return train_step

@@ -66,6 +66,35 @@ def trajectory_frames(traj_pts: np.ndarray, width: int, height: int):
     return frames
 
 
+def plot_2d_tracks(frames: np.ndarray, tracks: np.ndarray,
+                   visibles: np.ndarray | None = None,
+                   tracks_leave_trace: int = 8) -> np.ndarray:
+    """2D point-track overlay video (reference `utils/vis_utils.py:30-79`).
+    frames: (F, H, W, 3) u8; tracks: (F, N, 2) pixel coords.
+    Returns (F, H, W, 3) u8 with colored traces drawn on the frames."""
+    import cv2
+    f, n, _ = tracks.shape
+    if visibles is None:
+        visibles = np.ones((f, n), bool)
+    colors = _colormap_jet(n)
+    out = []
+    for fi in range(f):
+        img = frames[fi].copy()
+        start = max(0, fi - tracks_leave_trace)
+        for i in range(n):
+            if not visibles[fi, i]:
+                continue
+            col = colors[i].tolist()
+            seg = tracks[start:fi + 1, i].astype(np.int32)
+            if len(seg) > 1:
+                img = cv2.polylines(img, [seg], False, col, 1,
+                                    lineType=cv2.LINE_AA)
+            img = cv2.circle(img, tuple(seg[-1]), 2, col, -1,
+                             lineType=cv2.LINE_AA)
+        out.append(img)
+    return np.stack(out)
+
+
 def plot_3d_tracks(tracks: np.ndarray, visibles: np.ndarray | None = None,
                    tracks_leave_trace: int = 8, figsize=(5, 5)) -> np.ndarray:
     """Matplotlib 3D track video (reference `utils/vis_utils.py:259-314`).

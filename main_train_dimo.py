@@ -61,13 +61,39 @@ def main() -> None:
         os.makedirs(opt.save_path, exist_ok=True)
         save_config(opt, os.path.join(opt.save_path, "config.yaml"))
         try:
+            import numpy as _np
             from tensorboardX import SummaryWriter
             tb = SummaryWriter(log_dir=os.path.join(opt.save_path, "tb"))
 
-            def log_fn(stage, step, metrics):
+            def log_fn(stage, step, metrics, trainer=None):
+                scalars = {k: v for k, v in metrics.items() if _np.ndim(v) == 0}
                 if step % 10 == 0:
-                    for k, v in metrics.items():
+                    for k, v in scalars.items():
                         tb.add_scalar(f"{stage}/{k}", float(v), step)
+                    # render/gt image pair + latent histogram
+                    # (reference `main_train_dimo.py:403-412`)
+                    if "debug_render" in metrics:
+                        tb.add_image(f"{stage}/render",
+                                     _np.asarray(metrics["debug_render"]), step)
+                        tb.add_image(f"{stage}/gt",
+                                     _np.asarray(metrics["debug_gt"]), step)
+                    if trainer is not None:
+                        lat = trainer.state.params.latent
+                        code = lat.get("codes", lat.get("mu"))
+                        if code is not None:
+                            tb.add_histogram(f"{stage}/latent_code",
+                                             _np.asarray(code), step)
+                if step % 100 == 0 and "debug_render" in metrics:
+                    # side-by-side GT|render debug PNG
+                    # (reference `main_train_dimo.py:393-400`)
+                    import cv2
+                    gt = _np.asarray(metrics["debug_gt"]).transpose(1, 2, 0)
+                    rd = _np.asarray(metrics["debug_render"]).transpose(1, 2, 0)
+                    pair = _np.concatenate([gt, rd], axis=1)
+                    dbg = os.path.join(opt.save_path, "debug")
+                    os.makedirs(dbg, exist_ok=True)
+                    cv2.imwrite(os.path.join(dbg, f"image_{stage}_{step}.png"),
+                                (pair[..., ::-1].clip(0, 1) * 255).astype(_np.uint8))
                 if step % 100 == 0:
                     print(f"[{stage} {step}] loss={float(metrics['loss']):.4f} "
                           f"psnr={float(metrics['psnr']):.2f}")

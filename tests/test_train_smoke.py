@@ -38,7 +38,7 @@ class TestStage1:
         tr.prepare_train_s1()
         metrics_list = []
         tr.log_fn = lambda s, st, m: metrics_list.append(
-            {k: float(v) for k, v in m.items()})
+            {k: float(v) for k, v in m.items() if np.ndim(v) == 0})
         for _ in range(3):
             tr.train_step_once()
         assert len(metrics_list) == 3
