@@ -38,6 +38,33 @@ def load_npz(path: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# full training-state snapshots (capture/restore equivalent,
+# reference `latent_gs_renderer.py:296-338` — includes Adam moments)
+
+def save_train_state(path: str, state) -> None:
+    """Flatten a TrainState pytree (params + aux + Adam moments + step + rng)
+    into one npz. Capacity/shape metadata travels with the arrays."""
+    import jax
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    arrays = {}
+    for i, (p, leaf) in enumerate(flat):
+        arrays[f"leaf_{i:04d}"] = np.asarray(leaf)
+    arrays["_num_leaves"] = np.asarray(len(flat))
+    save_npz(path, arrays)
+
+
+def load_train_state(path: str, template):
+    """Restore into a state with the same tree structure/shapes as template."""
+    import jax
+    data = load_npz(path)
+    n = int(data["_num_leaves"])
+    leaves = [jnp.asarray(data[f"leaf_{i:04d}"]) for i in range(n)]
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    assert len(t_leaves) == n, (len(t_leaves), n)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
 # timenet <-> torch state dict
 
 def timenet_to_torch_state(params: dict) -> dict:

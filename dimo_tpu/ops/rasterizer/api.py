@@ -88,7 +88,8 @@ def rasterize(
         p.in_frustum, h_pad, w_pad, capacity)
 
     attrs = tiles_mod.pack_attrs(
-        mean2d, p.conic, opacities, p.color, p.depth, p.normal)
+        mean2d, p.conic, opacities, p.color, p.depth, p.normal,
+        radius=p.radius)
     packed = attrs[lists.idx]                       # (T, C, 16) gather
 
     out, tfin = composite(packed, h_pad, w_pad)

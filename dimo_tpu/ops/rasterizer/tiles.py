@@ -1,12 +1,23 @@
 """Per-tile Gaussian list construction (pure jnp; fused by XLA).
 
 TPU-native replacement for the CUDA rasterizers' duplicate+radix-sort tile
-binning: we instead do ONE global depth argsort, then per-tile stream
-compaction into fixed-capacity lists (static shapes for XLA). Gaussians per
-tile stay depth-ordered because compaction preserves the sorted order.
+binning. Design constraints that shaped it (measured on v5e, see
+scripts/bench_tilelists.py): XLA scatter serializes (35ms), (T,N) top_k is
+sort-bound (7-12ms), binary-search compaction pays 17 serialized gather
+rounds (13ms). The winning formulation mirrors the CUDA duplicate+sort idea
+but with BOUNDED duplication and no scatter:
+
+  * each "small" gaussian (bbox within a KR x KC tile footprint — the vast
+    majority in trained scenes) emits up to KR*KC (tile||quantized-depth,
+    index) int32 key pairs; ONE global lax.sort orders them by tile then
+    depth;
+  * per-tile segments are located with a searchsorted over the sorted keys
+    and read out with plain gathers into fixed-capacity lists;
+  * rare oversized gaussians are compacted globally with a 1-D top_k and
+    merged per tile by a tiny row sort.
 
 Tiles are (TILE_H, TILE_W) = (32, 128) pixels — the TPU-friendly shape whose
-last dim fills all 128 vector lanes (vs CUDA's 16x16).
+last dim fills all 128 vector lanes (vs CUDA's 16x16 thread blocks).
 """
 from __future__ import annotations
 
@@ -18,11 +29,24 @@ import jax.numpy as jnp
 TILE_H = 32
 TILE_W = 128
 
+# duplication footprint for the fast path (bbox <= KR x KC tiles).
+# 2x2 covers every gaussian with screen radius < ~32px (one tile-boundary
+# crossing in each axis) — the overwhelming majority in trained scenes;
+# larger ones ride the top_k big path.
+DUP_KR = 2
+DUP_KC = 2
+
+# depth quantization bits in the sort key (tile id occupies the high bits;
+# tile < 256 covers images up to 1024x1024 with 32x128 tiles)
+DEPTH_BITS = 23
+DEPTH_MAX = (1 << DEPTH_BITS) - 1
+
 # Packed attribute channel layout (lane-padded to 16)
 ATTR_DIM = 16
 A_MX, A_MY, A_CA, A_CB, A_CC, A_OP = 0, 1, 2, 3, 4, 5
 A_R, A_G, A_B, A_DEPTH = 6, 7, 8, 9
 A_NX, A_NY, A_NZ = 10, 11, 12
+A_RADIUS = 13  # screen radius: lets the kernel skip non-overlapping y-bands
 OUT_CH = 7  # composited channels: r g b depth nx ny nz
 
 
@@ -37,9 +61,20 @@ def num_tiles(height: int, width: int) -> tuple[int, int]:
     return height // TILE_H, width // TILE_W
 
 
+def _quantize_depth(depth, ok):
+    """Monotonic uint-ish depth key in [0, DEPTH_MAX]."""
+    d = jnp.where(ok, depth, 0.0)
+    lo = jnp.min(d)
+    hi = jnp.max(jnp.where(ok, depth, -jnp.inf))
+    hi = jnp.where(jnp.isfinite(hi), hi, lo + 1.0)
+    scale = DEPTH_MAX / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((depth - lo) * scale), 0, DEPTH_MAX).astype(jnp.int32)
+    return q
+
+
 def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
                      capacity: int) -> TileLists:
-    """Depth-sorted fixed-capacity per-tile Gaussian lists.
+    """Depth-ordered fixed-capacity per-tile Gaussian lists.
 
     Args: mean2d (N,2) pixel coords, radius (N,) screen radius, depth (N,),
     ok (N,) bool. All non-differentiable (stop_gradient upstream).
@@ -48,45 +83,82 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     n = depth.shape[0]
     nrows, ncols = num_tiles(height, width)
     t = nrows * ncols
+    assert t < 256, (t, "tile-id field in the int32 sort key supports <256 tiles")
 
-    order = jnp.argsort(jnp.where(ok, depth, jnp.inf)).astype(jnp.int32)  # (N,)
-    mx = mean2d[order, 0]
-    my = mean2d[order, 1]
-    r = radius[order]
-    oks = ok[order]
+    cmin = jnp.floor((mean2d[:, 0] - radius) / TILE_W).astype(jnp.int32)
+    cmax = jnp.floor((mean2d[:, 0] + radius) / TILE_W).astype(jnp.int32)
+    rmin = jnp.floor((mean2d[:, 1] - radius) / TILE_H).astype(jnp.int32)
+    rmax = jnp.floor((mean2d[:, 1] + radius) / TILE_H).astype(jnp.int32)
 
-    cmin = jnp.floor((mx - r) / TILE_W).astype(jnp.int32)
-    cmax = jnp.floor((mx + r) / TILE_W).astype(jnp.int32)
-    rmin = jnp.floor((my - r) / TILE_H).astype(jnp.int32)
-    rmax = jnp.floor((my + r) / TILE_H).astype(jnp.int32)
+    on_screen = (cmax >= 0) & (cmin <= ncols - 1) & (rmax >= 0) & (rmin <= nrows - 1)
+    alive = ok & (radius > 0.0) & on_screen
+    cmin = jnp.clip(cmin, 0, ncols - 1)
+    cmax = jnp.clip(cmax, 0, ncols - 1)
+    rmin = jnp.clip(rmin, 0, nrows - 1)
+    rmax = jnp.clip(rmax, 0, nrows - 1)
 
-    tr = (jnp.arange(t, dtype=jnp.int32) // ncols)[:, None]   # (T, 1)
+    dq = _quantize_depth(depth, alive)                                  # (N,)
+    gid = jnp.arange(n, dtype=jnp.int32)
+
+    small = alive & (cmax - cmin < DUP_KC) & (rmax - rmin < DUP_KR)
+    big = alive & ~small
+
+    # --- small path: bounded duplication + ONE global key/value sort
+    dup_r = rmin[:, None] + jnp.arange(DUP_KR, dtype=jnp.int32)[None]   # (N,KR)
+    dup_c = cmin[:, None] + jnp.arange(DUP_KC, dtype=jnp.int32)[None]   # (N,KC)
+    tile_id = dup_r[:, :, None] * ncols + dup_c[:, None, :]             # (N,KR,KC)
+    dup_ok = (small[:, None, None]
+              & (dup_r[:, :, None] <= rmax[:, None, None])
+              & (dup_c[:, None, :] <= cmax[:, None, None])
+              & (dup_r[:, :, None] < nrows) & (dup_c[:, None, :] < ncols))
+    sentinel = jnp.iinfo(jnp.int32).max
+    key = jnp.where(dup_ok,
+                    (tile_id << DEPTH_BITS) | dq[:, None, None],
+                    sentinel).reshape(-1)
+    val = jnp.broadcast_to(gid[:, None, None], tile_id.shape).reshape(-1)
+    skey, sval = jax.lax.sort((key, val), num_keys=1)
+
+    tile_base = jnp.arange(t, dtype=jnp.int32) << DEPTH_BITS
+    starts = jnp.searchsorted(skey, tile_base)                          # (T,)
+    ends = jnp.searchsorted(skey, tile_base + (1 << DEPTH_BITS))
+    offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
+    in_seg = offs < ends[:, None]
+    offs_c = jnp.minimum(offs, key.shape[0] - 1)
+    small_dq = jnp.where(in_seg, skey[offs_c] & DEPTH_MAX, DEPTH_MAX + 1)
+    small_idx = jnp.where(in_seg, sval[offs_c], n)                      # (T, C)
+
+    # --- big path: compact the (rare) oversized gaussians globally first
+    k_big = min(1024, max(capacity // 2, 8), n)
+    big_key = jnp.where(big, dq, DEPTH_MAX + 1)
+    neg_bd, big_i = jax.lax.top_k(-big_key, k_big)                      # by depth
+    big_dq_sel = -neg_bd                                                # (Kb,)
+    bs_valid = big_dq_sel <= DEPTH_MAX
+    tr = (jnp.arange(t, dtype=jnp.int32) // ncols)[:, None]
     tc = (jnp.arange(t, dtype=jnp.int32) % ncols)[:, None]
-    ov = (oks[None, :] & (r[None, :] > 0.0)
-          & (tc >= cmin[None, :]) & (tc <= cmax[None, :])
-          & (tr >= rmin[None, :]) & (tr <= rmax[None, :]))    # (T, N)
+    ovb = (bs_valid[None, :]
+           & (tc >= cmin[big_i][None, :]) & (tc <= cmax[big_i][None, :])
+           & (tr >= rmin[big_i][None, :]) & (tr <= rmax[big_i][None, :]))
+    big_dq_t = jnp.where(ovb, big_dq_sel[None, :], DEPTH_MAX + 1)       # (T,Kb)
+    big_idx = jnp.where(ovb, big_i[None, :], n)
 
-    # Stream compaction WITHOUT scatter (XLA scatter serializes on TPU and
-    # dominated the whole rasterizer): the first C depth-ranks overlapping
-    # each tile are exactly top_k of the masked rank array — TPU's top_k is
-    # the fastest primitive for this (measured vs cumsum+searchsorted and
-    # vs sort-with-duplication; see scripts/bench_tilelists.py).
-    ranks = jnp.where(ov, jnp.arange(n, dtype=jnp.int32)[None, :], n)  # (T, N)
-    if capacity > n:  # tiny scenes: pad so top_k's k <= axis size
-        ranks = jnp.concatenate(
-            [ranks, jnp.full((t, capacity - n), n, jnp.int32)], axis=1)
-    neg_rank, _ = jax.lax.top_k(-ranks, capacity)             # ascending ranks
-    rank = -neg_rank                                          # (T, C)
-    valid_slot = rank < n
-    idx = jnp.where(valid_slot, order[jnp.minimum(rank, n - 1)], n)
+    # --- merge by depth per tile (small row sort over C + Kb columns)
+    mk = jnp.concatenate([small_dq, big_dq_t], axis=1)
+    mv = jnp.concatenate([small_idx, big_idx], axis=1)
+    mk, mv = jax.lax.sort((mk, mv), num_keys=1, dimension=1)
+    idx = mv[:, :capacity]
+    valid_slot = mk[:, :capacity] <= DEPTH_MAX
 
-    total = jnp.sum(ov.astype(jnp.int32), axis=1)             # (T,)
-    count = jnp.minimum(total, capacity)
-    overflow = jnp.sum(jnp.maximum(total - capacity, 0))
+    count = jnp.sum(valid_slot.astype(jnp.int32), axis=1)
+    per_tile_total = ((ends - starts).astype(jnp.int32)
+                      + jnp.sum(ovb.astype(jnp.int32), axis=1))
+    overflow = jnp.sum(jnp.maximum(per_tile_total - capacity, 0))
+    n_big = jnp.sum(big.astype(jnp.int32))
+    overflow = overflow + jnp.maximum(n_big - k_big, 0)
     return TileLists(idx=idx, count=count, overflow=overflow)
 
 
-def pack_attrs(mean2d, conic, opacity, color, depth, normal) -> jnp.ndarray:
+def pack_attrs(mean2d, conic, opacity, color, depth, normal,
+               radius=None) -> jnp.ndarray:
     """Stack per-Gaussian attributes into an (N+1, 16) table; last row is the
     zero "dummy" used for padded list slots (opacity 0 => no contribution).
     Differentiable w.r.t. every input (the gather of this table into per-tile
@@ -100,7 +172,10 @@ def pack_attrs(mean2d, conic, opacity, color, depth, normal) -> jnp.ndarray:
         depth,
         normal[:, 0], normal[:, 1], normal[:, 2],
     ]
-    attrs = jnp.stack(cols, axis=-1)                          # (N, 13)
+    if radius is None:
+        radius = jnp.full((n,), 1e9, mean2d.dtype)  # no band skipping
+    cols.append(radius)
+    attrs = jnp.stack(cols, axis=-1)                          # (N, 14)
     attrs = jnp.concatenate(
         [attrs, jnp.zeros((n, ATTR_DIM - attrs.shape[1]), attrs.dtype)], axis=-1)
     return jnp.concatenate([attrs, jnp.zeros((1, ATTR_DIM), attrs.dtype)], axis=0)

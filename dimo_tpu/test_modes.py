@@ -152,6 +152,10 @@ def test_cpts(tr, test_stage: str = "s2", render_type: str = "fixed",
             traj_imgs_3d = [vid3d]
             viz.write_video(os.path.join(
                 video_save_dir, f"trajectory_3d_{motion_video_name}.mp4"), vid3d)
+            with open(os.path.join(
+                    video_save_dir,
+                    f"trajectory_3d_{motion_video_name}.html"), "w") as f:
+                f.write(viz.interactive_3d_html(tracks))
     return frames, traj_imgs, traj_imgs_3d, traj_pts
 
 

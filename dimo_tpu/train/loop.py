@@ -461,6 +461,15 @@ class Trainer:
         ckpt_io.save_model(save_path, jax.tree.map(np.asarray, p.latent),
                            jax.tree.map(np.asarray, p.timenet), step=step)
 
+    def save_full_state(self, path: str):
+        """Full resumable snapshot incl. Adam moments (the reference's
+        capture tuple, `latent_gs_renderer.py:296-315`, which its mains never
+        call; here it's the supported elastic-resume path)."""
+        ckpt_io.save_train_state(path, self.state)
+
+    def load_full_state(self, path: str):
+        self.state = ckpt_io.load_train_state(path, self.state)
+
     def load_checkpoint(self, stage: str, step=None):
         load_path = os.path.join(self.opt.save_path, stage)
         suffix = f"_{step}" if step else ""

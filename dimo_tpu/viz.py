@@ -133,6 +133,65 @@ def plot_3d_tracks(tracks: np.ndarray, visibles: np.ndarray | None = None,
     return np.stack(frames)
 
 
+def interactive_3d_html(tracks: np.ndarray, point_size: float = 2.5,
+                        trace: int = 8) -> str:
+    """Self-contained interactive 3D trajectory viewer (HTML string).
+
+    Replacement for the reference's scenepic export
+    (`utils/vis_utils.py:106-256`, get_interactive_3d_visualization) with
+    zero external dependencies: vanilla-JS canvas renderer with orbit
+    controls and frame playback. tracks: (F, N, 3).
+    """
+    import json
+    f, n, _ = tracks.shape
+    colors = _colormap_jet(n).tolist()
+    center = tracks.reshape(-1, 3).mean(0)
+    scale = float(np.abs(tracks.reshape(-1, 3) - center).max() + 1e-6)
+    norm = ((tracks - center) / scale).astype(np.float32)
+    data = json.dumps(np.round(norm, 4).tolist())
+    cols = json.dumps(colors)
+    return f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>DIMO-TPU 3D trajectories</title>
+<style>body{{margin:0;background:#111;color:#eee;font-family:monospace}}
+#c{{display:block}} #hud{{position:fixed;top:8px;left:8px}}</style></head>
+<body><canvas id="c"></canvas><div id="hud">frame <span id="fr">0</span>/{f - 1}
+&nbsp; drag: orbit &nbsp; wheel: zoom &nbsp; space: pause</div>
+<script>
+const T={data}, C={cols}, F={f}, N={n}, TRACE={trace}, PS={point_size};
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let W,H;function rs(){{W=cv.width=innerWidth;H=cv.height=innerHeight;}}
+rs();addEventListener('resize',rs);
+let az=0.6,el=0.4,zoom=Math.min(innerWidth,innerHeight)*0.35,fi=0,run=true;
+let dragging=false,lx=0,ly=0;
+cv.onmousedown=e=>{{dragging=true;lx=e.clientX;ly=e.clientY}};
+addEventListener('mouseup',()=>dragging=false);
+addEventListener('mousemove',e=>{{if(!dragging)return;
+az+=(e.clientX-lx)*0.01;el+=(e.clientY-ly)*0.01;lx=e.clientX;ly=e.clientY}});
+addEventListener('wheel',e=>zoom*=Math.pow(1.1,-Math.sign(e.deltaY)));
+addEventListener('keydown',e=>{{if(e.code==='Space')run=!run}});
+function proj(p){{
+ const ca=Math.cos(az),sa=Math.sin(az),ce=Math.cos(el),se=Math.sin(el);
+ const x=p[0]*ca+p[2]*sa, z=-p[0]*sa+p[2]*ca;
+ const y=p[1]*ce-z*se, zz=p[1]*se+z*ce;
+ const d=3/(3+zz);
+ return [W/2+x*zoom*d, H/2-y*zoom*d, d];}}
+function draw(){{
+ ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
+ const s=Math.max(0,fi-TRACE);
+ for(let i=0;i<N;i++){{
+  const col=C[i];ctx.strokeStyle=`rgb(${{col[0]}},${{col[1]}},${{col[2]}})`;
+  ctx.beginPath();
+  for(let t=s;t<=fi;t++){{const q=proj(T[t][i]);
+   if(t===s)ctx.moveTo(q[0],q[1]);else ctx.lineTo(q[0],q[1]);}}
+  ctx.stroke();
+  const q=proj(T[fi][i]);
+  ctx.fillStyle=ctx.strokeStyle;
+  ctx.beginPath();ctx.arc(q[0],q[1],PS*q[2],0,6.3);ctx.fill();}}
+ document.getElementById('fr').textContent=fi;}}
+setInterval(()=>{{if(run)fi=(fi+1)%F;draw();}},125);
+</script></body></html>"""
+
+
 def write_video(path: str, frames, fps: int = 8) -> None:
     """mp4 via imageio-ffmpeg when available, else cv2's bundled codec
     (this image ships no ffmpeg plugin), else a .gif fallback."""

@@ -1,0 +1,74 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""Train-step throughput at reference scale (Trump-n51 shape):
+s2, ~100k gaussians, 512 cpts, batch = 4 motions x 2 views x 2 frames = 16
+renders at a given resolution per jitted step (BASELINE.md schedule).
+"""
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--n_gauss", type=int, default=100_000)
+    ap.add_argument("--capacity", type=int, default=1024)
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_scene
+    from dimo_tpu.models import gaussians as G
+    from dimo_tpu.train import optim
+    from dimo_tpu.train.step import LossConfig, TrainState, make_train_step
+    from dimo_tpu.utils import cameras
+
+    cfg, params, aux, _ = _flagship_scene(n_gauss=args.n_gauss)
+    state = TrainState(params=params, aux=aux, opt=optim.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(0))
+
+    n_motions, n_views, n_frames = 4, 2, 2
+    B = n_motions * n_views * n_frames
+    res = args.res
+    rng = np.random.RandomState(0)
+    fov = float(np.deg2rad(33.9))
+    cams = [cameras.Camera.from_c2w(
+        cameras.orbit_camera(0, rng.uniform(0, 360), 2.0), fov, fov)
+        for _ in range(B)]
+    mc = params.c_xyz.shape[0]
+    batch = {
+        "camera": cameras.stack_cameras(cams),
+        "times": jnp.asarray(rng.rand(B), jnp.float32),
+        "latent_idx": jnp.asarray(np.repeat(np.arange(n_motions), 4), jnp.int32),
+        "mse_w": jnp.ones((B,), jnp.float32),
+        "gt_image": jnp.asarray(
+            rng.randint(0, 255, (B, 512, 512, 3), np.uint8)),
+        "gt_mask": jnp.asarray(rng.randint(0, 255, (B, 512, 512), np.uint8)),
+        "guidance": jnp.zeros((B, mc, 3)),
+    }
+
+    lcfg = LossConfig()
+    step_fn = make_train_step(cfg, lcfg, "s2", res, res,
+                              n_motions, n_views, n_frames,
+                              capacity=args.capacity, use_guidance=True)
+
+    t0 = time.time()
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    print(f"compile+first step: {time.time()-t0:.1f}s  "
+          f"loss={float(metrics['loss']):.3f}")
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / args.steps
+    print(f"steady step: {dt*1000:.1f} ms  ({1.0/dt:.2f} it/s)  "
+          f"res={res} B={B} N={args.n_gauss}")
+
+
+if __name__ == "__main__":
+    main()
