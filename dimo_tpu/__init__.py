@@ -14,3 +14,17 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: TPU compiles of the fused train step run
+# minutes via the remote compiler; caching them makes every subsequent
+# process start warm. Override location with DIMO_TPU_COMPILE_CACHE.
+import os as _os
+
+try:  # pragma: no cover - environment dependent
+    import jax as _jax
+
+    _cache = _os.environ.get("DIMO_TPU_COMPILE_CACHE", "/tmp/dimo_jax_cache")
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass

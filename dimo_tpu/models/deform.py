@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dimo_tpu.ops import quat as quat_ops
+from dimo_tpu.ops.rasterizer.gather import gather_rows
 
 EPS = 1e-7
 
@@ -36,12 +37,15 @@ def lbs_blend(
     local_frame: bool = True,
 ):
     """Returns (deformed xyz (N,3), composed rotation (N,4) normalized)."""
-    r_n = c_radius[nn_idx][..., 0]                        # (N, K)
+    # neighbor gathers use the scatter-free custom VJP: plain indexing would
+    # autodiff into XLA scatter-add over 100k x K rows, which serializes on
+    # TPU and dominates the training step
+    r_n = gather_rows(c_radius, nn_idx)[..., 0]           # (N, K)
     w = knn_weights(nn_dist, r_n)                         # (N, K)
 
-    c_n = c_xyz[nn_idx]                                   # (N, K, 3)
-    d_n = d_xyz_c[nn_idx]                                 # (N, K, 3)
-    q_n = d_rot_c[nn_idx]                                 # (N, K, 4)
+    c_n = gather_rows(c_xyz, nn_idx)                      # (N, K, 3)
+    d_n = gather_rows(d_xyz_c, nn_idx)                    # (N, K, 3)
+    q_n = gather_rows(d_rot_c, nn_idx)                    # (N, K, 4)
 
     if local_frame:
         R_n = quat_ops.to_matrix(q_n)                     # (N, K, 3, 3)

@@ -181,11 +181,11 @@ def _blank(cfg: ModelConfig) -> tuple[GaussianParams, GaussianAux]:
         xyz=jnp.zeros((n, 3)),
         features_dc=jnp.zeros((n, 1, 3)),
         features_rest=jnp.zeros((n, max(k - 1, 0), 3)),
-        scaling=jnp.full((n, 3), -10.0),
+        scaling=jnp.full((n, 3), -10.0, jnp.float32),
         rotation=jnp.zeros((n, 4)).at[:, 0].set(1.0),
-        opacity=jnp.full((n, 1), -10.0),
+        opacity=jnp.full((n, 1), -10.0, jnp.float32),
         c_xyz=jnp.zeros((m, 3)),
-        c_radius=jnp.full((m, 1), -5.0),
+        c_radius=jnp.full((m, 1), -5.0, jnp.float32),
         r=jnp.zeros((1, 1)),
         latent={},
         timenet={},

@@ -50,27 +50,49 @@ def _edge_matrix(points: jnp.ndarray, idx: jnp.ndarray,
     return jnp.where(mask[..., None], e, 0.0)
 
 
-def _procrustes(e0: jnp.ndarray, et: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Per-node best-fit rotation R minimizing sum_k w ||et - R e0||^2.
+def _procrustes(e0: jnp.ndarray, et: jnp.ndarray, w: jnp.ndarray,
+                iters: int = 30) -> jnp.ndarray:
+    """Per-node best-fit ROTATION R minimizing sum_k w ||et - R e0||^2.
 
     e0, et: (N, K, 3); w: (N, K). Computed under stop_gradient.
-    Includes the reference's guard: undeformed nodes get S=0 => R=I.
+
+    Instead of batched SVD (jnp.linalg.svd lowers to an iterative algorithm
+    that costs ~20s/step on TPU at this batch size), uses Horn's quaternion
+    formulation: the optimal rotation is the top eigenvector of a symmetric
+    4x4 built from the cross-covariance, found by shifted power iteration —
+    pure batched (N,4,4)@(N,4) matmuls. det(R)=+1 by construction (the SVD
+    det-flip fix is unnecessary), and S=0 (undeformed nodes, the reference's
+    guard at `utils/deform_utils.py:178-180`) yields identity.
     """
     e0 = lax.stop_gradient(e0)
     et = lax.stop_gradient(et)
     S = jnp.einsum("nki,nk,nkj->nij", e0, w, et)                 # (N, 3, 3)
-    unchanged = jnp.all(jnp.abs(e0 - et) < 1e-12, axis=(1, 2))
-    S = jnp.where(unchanged[:, None, None], 0.0, S)
 
-    u, s, vh = jnp.linalg.svd(S)
-    v = jnp.swapaxes(vh, -1, -2)
-    R = v @ jnp.swapaxes(u, -1, -2)
-    # flip the column of U for the smallest singular value where det(R)<=0
-    det = jnp.linalg.det(R)
-    flip = (det <= 0.0)[:, None]
-    u_fixed = u.at[..., :, 2].multiply(jnp.where(flip, -1.0, 1.0))
-    R_fixed = v @ jnp.swapaxes(u_fixed, -1, -2)
-    return jnp.where((det <= 0.0)[:, None, None], R_fixed, R)
+    sxx, sxy, sxz = S[:, 0, 0], S[:, 0, 1], S[:, 0, 2]
+    syx, syy, syz = S[:, 1, 0], S[:, 1, 1], S[:, 1, 2]
+    szx, szy, szz = S[:, 2, 0], S[:, 2, 1], S[:, 2, 2]
+    row0 = jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1)
+    row1 = jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1)
+    row2 = jnp.stack([szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy], -1)
+    row3 = jnp.stack([sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz], -1)
+    Nmat = jnp.stack([row0, row1, row2, row3], axis=-2)          # (N, 4, 4)
+
+    # shift so the top eigenvalue is dominant and positive
+    shift = 2.0 * jnp.sqrt(jnp.sum(S * S, axis=(1, 2)))[:, None, None] + 1e-6
+    M = Nmat + shift * jnp.eye(4)[None]
+
+    q = jnp.zeros((S.shape[0], 4)).at[:, 0].set(1.0)             # identity init
+    def body(_, qv):
+        qv = jnp.einsum("nij,nj->ni", M, qv)
+        return qv / jnp.linalg.norm(qv, axis=-1, keepdims=True).clip(1e-20)
+    q = lax.fori_loop(0, iters, body, q)
+
+    return quat_to_matrix(q)
+
+
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    from dimo_tpu.ops import quat as quat_ops
+    return quat_ops.to_matrix(q)
 
 
 def arap_error(points_t: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,

@@ -23,6 +23,7 @@ from jax import lax
 from dimo_tpu.ops.rasterizer import projection as proj_mod
 from dimo_tpu.ops.rasterizer import tiles as tiles_mod
 from dimo_tpu.ops.rasterizer.composite_pallas import composite
+from dimo_tpu.ops.rasterizer.gather import gather_rows
 from dimo_tpu.ops.rasterizer.tiles import TILE_H, TILE_W
 
 
@@ -90,7 +91,8 @@ def rasterize(
     attrs = tiles_mod.pack_attrs(
         mean2d, p.conic, opacities, p.color, p.depth, p.normal,
         radius=p.radius)
-    packed = attrs[lists.idx]                       # (T, C, 16) gather
+    # gather with a scatter-free custom backward (see gather.py)
+    packed = gather_rows(attrs, lists.idx)          # (T, C, 16)
 
     out, tfin = composite(packed, h_pad, w_pad)
     out = out[:, :height, :width]

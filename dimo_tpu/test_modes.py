@@ -91,10 +91,10 @@ def cpt_model(tr):
                          capacity=n, cpt_capacity=n)
     params2, aux2 = G._blank(cfg2)
     params2 = params2.replace(
-        xyz=base, scaling=jnp.full((n, 3), -5.0),
+        xyz=base, scaling=jnp.full((n, 3), -5.0, jnp.float32),
         rotation=jnp.zeros((n, 4)).at[:, 0].set(1.0),
-        opacity=jnp.full((n, 1), 2.0),
-        r=jnp.full((1, 1), -5.0),
+        opacity=jnp.full((n, 1), 2.0, jnp.float32),
+        r=jnp.full((1, 1), -5.0, jnp.float32),
         latent=p.latent, timenet=p.timenet)
     aux2 = aux2.replace(active=act, c_active=act)
     return cfg2, params2, aux2, act
@@ -113,7 +113,7 @@ def test_cpts(tr, test_stage: str = "s2", render_type: str = "fixed",
     cfg2, params2, aux2, act = cpt_model(tr)
     bg = jnp.ones((3,))
     capacity = int(opt.get("tile_capacity", 1024))
-    color = jnp.full((3,), 0.1)
+    color = jnp.full((3,), 0.1, jnp.float32)
 
     @jax.jit
     def fn(cam, t):
@@ -252,7 +252,7 @@ def run_test_language(tr, text_prompt: str, render_type: str = "fixed",
         latent = {"codes": latent_code[None]}
     else:
         latent = {"mu": latent_code[None],
-                  "log_var": jnp.full((1, latent_code.shape[-1]), -20.0)}
+                  "log_var": jnp.full((1, latent_code.shape[-1]), -20.0, jnp.float32)}
     tr.state = tr.state.replace(params=p.replace(latent=latent))
 
     frames, traj_imgs, _, _ = test_cpts(
@@ -268,7 +268,8 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
                               iters: int = 1000,
                               trainable=frozenset({"latent_code",
                                                    "latent_code_mu",
-                                                   "latent_code_log_var"})):
+                                                   "latent_code_log_var"}),
+                              fresh_latent: bool = True):
     """Fit a fresh latent to an unseen motion (reference test_motion /
     finetune_latent, `main_test_dimo.py:645-777,909-1009`).
 
@@ -282,12 +283,15 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
     opt = tr.opt
     p = tr.state.params
     key = jax.random.PRNGKey(int(opt.seed or 0) + 123)
-    if "codes" in p.latent:
+    if not fresh_latent:
+        latent = jax.tree.map(lambda x: x[:1], p.latent)
+    elif "codes" in p.latent:
         latent = {"codes": jax.random.normal(key, (1, tr.mcfg.latent_dim))}
     else:
         latent = {"mu": jnp.zeros((1, tr.mcfg.latent_dim)),
                   "log_var": jnp.zeros((1, tr.mcfg.latent_dim))}
     params = p.replace(latent=latent)
+    params = optim.strongify(params)
     state = TrainState(params=params, aux=tr.state.aux,
                        opt=optim.init(params),
                        step=jnp.zeros((), jnp.int32), rng=key)
@@ -353,19 +357,84 @@ def run_test_motion(tr, motion_images, motion_masks, iters: int = 1000):
     return metrics
 
 
+def _finetune_cpt_only(tr, images, masks, iters, trainable):
+    """Phase-A finetune on a control-point-only model (reference
+    `main_test_dimo.py:1029-1034`: cheap latent+deformnet alignment by
+    rendering just the key-point blobs). The trained latent/TimeNet leaves
+    are copied back into the full model."""
+    import jax
+    from dimo_tpu.train.loop import loss_config_from_opt
+    from dimo_tpu.train.step import make_train_step, TrainState
+    from dimo_tpu.train import optim
+
+    opt = tr.opt
+    cfg2, params2, aux2, _ = cpt_model(tr)
+    key = jax.random.PRNGKey(int(opt.seed or 0) + 321)
+    if "codes" in params2.latent:
+        latent = {"codes": jax.random.normal(key, (1, tr.mcfg.latent_dim))}
+    else:
+        latent = {"mu": jnp.zeros((1, tr.mcfg.latent_dim)),
+                  "log_var": jnp.zeros((1, tr.mcfg.latent_dim))}
+    params2 = params2.replace(latent=latent)
+    params2 = optim.strongify(params2)
+    state = TrainState(params=params2, aux=aux2, opt=optim.init(params2),
+                       step=jnp.zeros((), jnp.int32), rng=key)
+
+    bs = int(opt.batch_size)
+    num_views, num_frames = images.shape[0], images.shape[1]
+    lcfg = loss_config_from_opt(opt, "s1")
+    step_fns = {}
+    rng = tr.py_rng
+    for it in range(1, iters + 1):
+        res = 128 if it < 100 else 256
+        views = [0] + rng.sample(range(1, num_views), min(bs, num_views - 1))
+        frames = rng.sample(range(num_frames), min(bs, num_frames))
+        cams, times, li, w, gt_i, gt_m = [], [], [], [], [], []
+        for v in views:
+            for f in frames:
+                cams.append(tr.camera_for(tr.azimuths[v]))
+                times.append(f / num_frames)
+                li.append(0)
+                w.append(1.0)
+                gt_i.append(images[v, f])
+                gt_m.append(masks[v, f])
+        batch = {
+            "camera": cameras.stack_cameras(cams),
+            "times": jnp.asarray(times, jnp.float32),
+            "latent_idx": jnp.asarray(li, jnp.int32),
+            "mse_w": jnp.asarray(w, jnp.float32),
+            "gt_image": jnp.asarray(np.stack(gt_i)),
+            "gt_mask": jnp.asarray(np.stack(gt_m)),
+            "guidance": jnp.zeros((len(times), params2.c_xyz.shape[0], 3)),
+        }
+        shape_key = (res, len(views), len(frames))
+        if shape_key not in step_fns:
+            step_fns[shape_key] = make_train_step(
+                cfg2, lcfg, "s1", res, res, 1, len(views), len(frames),
+                capacity=int(opt.get("tile_capacity", 1024)),
+                trainable_groups=trainable)
+        state, metrics = step_fns[shape_key](state, batch)
+    # graft the aligned latent + deformnet back into the full model
+    tr.state = tr.state.replace(params=tr.state.params.replace(
+        latent=state.params.latent, timenet=state.params.timenet))
+    return metrics
+
+
 def run_test_unaligned_motion(tr, motion_images, motion_masks,
                               iters_a: int = 400, iters_b: int = 1000):
     """Two-phase finetune for unaligned motions
-    (`main_test_dimo.py:1012-1320`): phase A latent+deformnet at low cost,
-    phase B joint on the full model."""
+    (`main_test_dimo.py:1012-1320`): phase A fits latent+deformnet on the
+    control-point-only renderer, phase B refines them jointly on the full
+    model."""
     opt = tr.opt
     tr.load_checkpoint(opt.test_stage, step=opt.get("test_step"))
-    groups_a = frozenset({"latent_code", "latent_code_mu",
-                          "latent_code_log_var", "deform", "deform_rot"})
-    finetune_latent_to_motion(tr, motion_images, motion_masks, iters_a,
-                              trainable=groups_a)
-    metrics = finetune_latent_to_motion(tr, motion_images, motion_masks,
-                                        iters_b, trainable=groups_a)
+    groups = frozenset({"latent_code", "latent_code_mu",
+                        "latent_code_log_var", "deform", "deform_rot"})
+    _finetune_cpt_only(tr, motion_images, motion_masks, iters_a,
+                       trainable=groups)
+    metrics = finetune_latent_to_motion(
+        tr, motion_images, motion_masks, iters_b, trainable=groups,
+        fresh_latent=False)
     seq = render_sequence(tr, 0, opt.test_stage, "fixed")
     os.makedirs(opt.video_save_dir, exist_ok=True)
     viz.write_video(os.path.join(opt.video_save_dir,

@@ -108,7 +108,8 @@ class Trainer:
                                    num_pts=int(opt.num_cpts),
                                    num_cpts=int(opt.num_cpts))
         self.state = TrainState(
-            params=params, aux=aux, opt=optim.init(params),
+            params=optim.strongify(params), aux=aux,
+            opt=optim.init(optim.strongify(params)),
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(self.seed))
 
@@ -402,7 +403,8 @@ class Trainer:
         aux2 = aux2.replace(c_active=jnp.asarray(c_active))
 
         self.state = TrainState(
-            params=params2, aux=aux2, opt=optim.init(params2),
+            params=optim.strongify(params2), aux=aux2,
+            opt=optim.init(optim.strongify(params2)),
             step=jnp.zeros((), jnp.int32), rng=s.rng)
         self.stage = "s2"
         self.step = 0
@@ -529,7 +531,8 @@ class Trainer:
                                              vae=self.mcfg.vae)
         params = params.replace(latent=latent, timenet=timenet)
         self.state = TrainState(
-            params=params, aux=aux, opt=optim.init(params),
+            params=optim.strongify(params), aux=aux,
+            opt=optim.init(optim.strongify(params)),
             step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(self.seed))
         self._step_fns.clear()
         self._densify_fns.clear()

@@ -26,6 +26,15 @@ class AdamState:
     step: jnp.ndarray
 
 
+def strongify(tree):
+    """Strip weak types from every leaf. A weak-typed leaf (e.g. from
+    jnp.full without dtype) becomes strong after the first Adam update,
+    changing the jit cache key and silently recompiling the train step on
+    step 2 — minutes on TPU. Normalize at state construction instead."""
+    return jax.tree.map(
+        lambda x: jax.lax.convert_element_type(x, jnp.asarray(x).dtype), tree)
+
+
 def init(params) -> AdamState:
     zeros = jax.tree.map(jnp.zeros_like, params)
     return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),

@@ -165,6 +165,7 @@ def make_train_step(
     B = n_motions * n_views * n_frames
     bg = jnp.ones((3,))
 
+    # exposed for profiling/bisection (scripts/profile_train.py)
     def loss_fn(params, taps, aux, batch, rng, step):
         cams = batch["camera"]
         rngs = jax.random.split(rng, B + n_motions)
@@ -358,4 +359,5 @@ def make_train_step(
         metrics["debug_gt"] = vis_aux["debug_gt"]
         return new_state, metrics
 
+    train_step.loss_fn = loss_fn
     return train_step

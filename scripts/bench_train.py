@@ -17,6 +17,11 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--n_gauss", type=int, default=100_000)
     ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--no_arap", action="store_true")
+    ap.add_argument("--no_guidance", action="store_true")
+    ap.add_argument("--no_smooth", action="store_true")
+    ap.add_argument("--shape", type=str, default="4,2,2",
+                    help="n_motions,n_views,n_frames")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_scene
@@ -30,7 +35,7 @@ def main():
                        step=jnp.zeros((), jnp.int32),
                        rng=jax.random.PRNGKey(0))
 
-    n_motions, n_views, n_frames = 4, 2, 2
+    n_motions, n_views, n_frames = (int(x) for x in args.shape.split(","))
     B = n_motions * n_views * n_frames
     res = args.res
     rng = np.random.RandomState(0)
@@ -42,7 +47,8 @@ def main():
     batch = {
         "camera": cameras.stack_cameras(cams),
         "times": jnp.asarray(rng.rand(B), jnp.float32),
-        "latent_idx": jnp.asarray(np.repeat(np.arange(n_motions), 4), jnp.int32),
+        "latent_idx": jnp.asarray(
+            np.repeat(np.arange(n_motions), n_views * n_frames), jnp.int32),
         "mse_w": jnp.ones((B,), jnp.float32),
         "gt_image": jnp.asarray(
             rng.randint(0, 255, (B, 512, 512, 3), np.uint8)),
@@ -50,10 +56,14 @@ def main():
         "guidance": jnp.zeros((B, mc, 3)),
     }
 
-    lcfg = LossConfig()
+    lcfg = LossConfig(
+        use_arap=not args.no_arap,
+        add_depth=not args.no_smooth, add_normal=not args.no_smooth,
+        add_ga=not args.no_guidance)
     step_fn = make_train_step(cfg, lcfg, "s2", res, res,
                               n_motions, n_views, n_frames,
-                              capacity=args.capacity, use_guidance=True)
+                              capacity=args.capacity,
+                              use_guidance=not args.no_guidance)
 
     t0 = time.time()
     state, metrics = step_fn(state, batch)

@@ -1,0 +1,87 @@
+"""LPIPS architecture + text projector tests (no pretrained weights in this
+image — random-init exercises shapes/differentiability; weight loading is
+covered by the npz path)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dimo_tpu.models import lpips as lpips_mod
+from dimo_tpu.models import text as text_mod
+
+
+class TestLPIPS:
+    def test_forward_shapes_and_zero_self_distance(self):
+        fn = lpips_mod.random_init_lpips(0)
+        img = jnp.asarray(np.random.RandomState(0).rand(2, 3, 64, 64),
+                          jnp.float32)
+        d = fn(img, img)
+        assert d.shape == (2,)
+        np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+    def test_differs_for_different_images(self):
+        fn = lpips_mod.random_init_lpips(0)
+        rng = np.random.RandomState(1)
+        a = jnp.asarray(rng.rand(1, 3, 64, 64), jnp.float32)
+        b = jnp.asarray(rng.rand(1, 3, 64, 64), jnp.float32)
+        assert float(fn(a, b)[0]) > 0
+
+    def test_gradient_flows(self):
+        fn = lpips_mod.random_init_lpips(0)
+        rng = np.random.RandomState(2)
+        a = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+        b = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+        g = jax.grad(lambda x: jnp.sum(fn(x, b)))(a)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_npz_weight_roundtrip(self, tmp_path):
+        # synthesize a weight file and load it through the public loader
+        rng = np.random.RandomState(3)
+        params = {}
+        c_in = 3
+        for i, (c_out, _) in enumerate(lpips_mod._VGG_PLAN):
+            params[f"conv{i}_w"] = rng.randn(c_out, c_in, 3, 3).astype(np.float32) * 0.01
+            params[f"conv{i}_b"] = np.zeros(c_out, np.float32)
+            c_in = c_out
+        for k, c in enumerate([64, 128, 256, 512, 512]):
+            params[f"lin{k}_w"] = np.abs(rng.randn(c)).astype(np.float32)
+        path = str(tmp_path / "w.npz")
+        np.savez(path, **params)
+        fn = lpips_mod.load_lpips(path)
+        assert fn is not None
+        img = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+        assert np.isfinite(float(fn(img, img)[0]))
+
+    def test_missing_weights_disabled(self):
+        assert lpips_mod.load_lpips("/nonexistent/w.npz") is None
+
+
+class TestTextProjector:
+    def test_random_fallback_projector(self):
+        proj = text_mod.load_mlp_projector("/nonexistent/mlp.pth", latent_dim=16)
+        emb = jnp.asarray(np.random.RandomState(0).randn(768), jnp.float32)
+        out = proj(emb)
+        assert out.shape == (16,)
+
+    def test_npz_projector(self, tmp_path):
+        rng = np.random.RandomState(1)
+        w = rng.randn(768, 32).astype(np.float32)
+        b = rng.randn(32).astype(np.float32)
+        path = str(tmp_path / "mlp.npz")
+        np.savez(path, weight=w, bias=b)
+        proj = text_mod.load_mlp_projector(path)
+        emb = jnp.asarray(rng.randn(768), jnp.float32)
+        np.testing.assert_allclose(proj(emb), emb @ w + b, atol=1e-4)
+
+    def test_torch_pth_projector(self, tmp_path):
+        import torch
+        import torch.nn as nn
+        rng = np.random.RandomState(2)
+        lin = nn.Linear(768, 32)
+        path = str(tmp_path / "mlp_encoder.pth")
+        torch.save({"projection.0.weight": lin.weight.detach(),
+                    "projection.0.bias": lin.bias.detach()}, path)
+        proj = text_mod.load_mlp_projector(path)
+        emb = rng.randn(768).astype(np.float32)
+        expect = lin(torch.from_numpy(emb)).detach().numpy()
+        np.testing.assert_allclose(np.asarray(proj(jnp.asarray(emb))), expect,
+                                   atol=1e-4)

@@ -79,3 +79,14 @@ class TestFps:
     def test_fps_positive(self, trained):
         fps = test_modes.run_test_fps(trained, rounds=3, size=128)
         assert fps > 0
+
+
+class TestUnaligned:
+    def test_cpt_only_phase_then_full(self, trained):
+        images, masks, _ = make_synthetic_videos(
+            num_motions=1, num_views=3, num_frames=5, ref_size=64,
+            n_gauss=40, seed=7)
+        m = test_modes.run_test_unaligned_motion(
+            trained, images[0], masks[0], iters_a=2, iters_b=2)
+        assert np.isfinite(float(m["loss"]))
+        assert trained.state.params.latent["codes"].shape[0] == 1
