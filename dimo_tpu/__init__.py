@@ -26,5 +26,10 @@ try:  # pragma: no cover - environment dependent
     _cache = _os.environ.get("DIMO_TPU_COMPILE_CACHE", "/tmp/dimo_jax_cache")
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # TPU matmuls/convs default to bf16: the SSIM variance estimates
+    # (blur(x^2) - mu^2) cancel below bf16 error and the metric explodes
+    # past 1 with sign-flipped denominators, poisoning training. Photometric
+    # losses need f32; opt into bf16 per-op where it's safe instead.
+    _jax.config.update("jax_default_matmul_precision", "float32")
 except Exception:
     pass

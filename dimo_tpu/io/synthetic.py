@@ -37,7 +37,12 @@ def make_synthetic_videos(
     azimuths = [360.0 / num_views * v for v in range(num_views)]
     bg = jnp.ones((3,))
 
-    size = ((ref_size + 127) // 128) * 128 if ref_size > 64 else ref_size
+    @jax.jit
+    def render_oracle(pts, cam):
+        return rasterize_dense(
+            pts, jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(opac),
+            jnp.asarray(sh), cam, ref_size, ref_size, bg)
+
     images = np.zeros((num_motions, num_views, num_frames, ref_size, ref_size, 3),
                       np.uint8)
     masks = np.zeros((num_motions, num_views, num_frames, ref_size, ref_size),
@@ -57,10 +62,7 @@ def make_synthetic_videos(
             for v in range(num_views):
                 cam = cameras.Camera.from_c2w(
                     cameras.orbit_camera(0, azimuths[v], radius), fov, fov)
-                out = rasterize_dense(
-                    jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
-                    jnp.asarray(opac), jnp.asarray(sh), cam,
-                    ref_size, ref_size, bg)
+                out = render_oracle(jnp.asarray(pts), cam)
                 img = np.asarray(jnp.clip(out.image, 0, 1))
                 alpha = np.asarray(out.alpha)[0]
                 images[m, v, f] = (img.transpose(1, 2, 0) * 255).astype(np.uint8)

@@ -327,10 +327,17 @@ def densify_and_prune(cfg: ModelConfig, params: GaussianParams, aux: GaussianAux
     params, aux, moments = _split(params, aux, moments, split_sel, rng, stage)
 
     # --- prune
+    # NOTE on reference parity: the reference zeroes max_radii2D inside
+    # densification_postfix (clone/split) immediately BEFORE its prune, so
+    # its `max_radii2D > max_screen_size` criterion is dead code — only the
+    # opacity and world-size criteria ever fire (`latent_gs_renderer.py:
+    # 799-888`). Applying the screen-size rule with live radii prunes every
+    # visible gaussian (radius is in pixels, threshold 1). We reproduce the
+    # EFFECTIVE reference behavior.
     prune_mask = get_opacity(params)[:, 0] < min_opacity
     if max_screen_size:
-        prune_mask = prune_mask | (aux.max_radii2d > max_screen_size) \
-            | (jnp.max(get_scaling(params, stage), axis=1) > 0.1 * extent)
+        prune_mask = prune_mask | (
+            jnp.max(get_scaling(params, stage), axis=1) > 0.1 * extent)
     params, aux = prune(params, aux, prune_mask)
 
     aux = aux.replace(
@@ -415,11 +422,15 @@ def prune(params: GaussianParams, aux: GaussianAux, prune_mask: jnp.ndarray):
 
 def prune_only(cfg: ModelConfig, params, aux, stage: str, min_opacity: float,
                extent: float, max_screen_size: float | None):
-    """Reference `prune` (s2 periodic prune, `latent_gs_renderer.py:892-901`)."""
+    """Reference `prune` (s2 periodic prune, `latent_gs_renderer.py:892-901`).
+
+    The reference's max_radii2D is never updated in stage 2 (densification
+    stats only accumulate in s1), so its screen-size criterion is inert
+    there too — only opacity and world-size prune (see densify_and_prune
+    note)."""
     mask = get_opacity(params)[:, 0] < min_opacity
     if max_screen_size:
-        mask = mask | (aux.max_radii2d > max_screen_size) \
-            | (jnp.max(get_scaling(params, stage), axis=1) > 0.1 * extent)
+        mask = mask | (jnp.max(get_scaling(params, stage), axis=1) > 0.1 * extent)
     mask = mask & aux.active
     return prune(params, aux, mask)
 
