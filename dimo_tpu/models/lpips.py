@@ -38,10 +38,16 @@ _SCALE = np.array([.458, .448, .450], np.float32)
 
 
 def _conv(x, w, b):
-    """x: (B, C, H, W); w: (O, I, 3, 3) torch layout; SAME padding."""
+    """x: (B, C, H, W); w: (O, I, 3, 3) torch layout; SAME padding.
+
+    Explicit DEFAULT (bf16) precision: the framework globally forces f32
+    matmuls because SSIM's variance cancellation breaks in bf16, but VGG
+    feature convs have no such cancellation and the perceptual loss
+    tolerates bf16 — this halves the LPIPS cost in the train step."""
     out = lax.conv_general_dilated(
         x, w, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.DEFAULT)
     return out + b[None, :, None, None]
 
 

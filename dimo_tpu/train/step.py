@@ -19,8 +19,7 @@ Step-dependent gates are jnp.where weights so the step never recompiles.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

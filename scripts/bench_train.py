@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--no_smooth", action="store_true")
     ap.add_argument("--shape", type=str, default="4,2,2",
                     help="n_motions,n_views,n_frames")
+    ap.add_argument("--lpips", action="store_true",
+                    help="enable LPIPS with random-init weights (cost bench)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_scene
@@ -60,9 +62,14 @@ def main():
         use_arap=not args.no_arap,
         add_depth=not args.no_smooth, add_normal=not args.no_smooth,
         add_ga=not args.no_guidance)
+    lpips_fn = None
+    if args.lpips:
+        from dimo_tpu.models.lpips import random_init_lpips
+        lpips_fn = random_init_lpips(0)
     step_fn = make_train_step(cfg, lcfg, "s2", res, res,
                               n_motions, n_views, n_frames,
                               capacity=args.capacity,
+                              lpips_fn=lpips_fn,
                               use_guidance=not args.no_guidance)
 
     t0 = time.time()
