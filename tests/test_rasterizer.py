@@ -123,3 +123,16 @@ class TestCapacity:
                             capacity=128)
         assert int(out_small.overflow) > 0
         assert int(out_big.overflow) == 0
+
+
+class TestNonAlignedResolution:
+    def test_padded_width_cropped(self):
+        """Resolutions that aren't tile multiples (e.g. the reference's
+        800x800 viewer size) render via padding + crop."""
+        means, scales, quats, opac, sh, cam = make_scene(30, seed=6)
+        out = rasterize(means, scales, quats, opac, sh, cam, 96, 72,
+                        jnp.ones(3), capacity=32)
+        dense = rasterize_dense(means, scales, quats, opac, sh, cam, 96, 72,
+                                jnp.ones(3))
+        assert out.image.shape == (3, 72, 96)
+        np.testing.assert_allclose(out.image, dense.image, atol=2e-5)
