@@ -106,22 +106,24 @@ def project(
     tx = txz * tz_safe
     ty = tyz * tz_safe
 
-    cov3d = build_cov3d(scales, quats, scale_modifier)       # (N, 3, 3)
+    # Closed-form 2D covariance: cov2d = (J W M)(J W M)^T where M = R*s.
+    # Avoids materializing cov3d/cov_view (several (N,3,3) round-trips to
+    # HBM): one rotation product and two 3-vector contractions instead.
+    Rm = quat_ops.to_matrix(quats)                           # (N, 3, 3)
     Rv = world_view[:3, :3].T                                # view rotation
-    covv = jnp.einsum("ij,njk,lk->nil", Rv, cov3d, Rv)       # (N, 3, 3)
+    WR = jnp.einsum("ij,njk->nik", Rv, Rm)                   # (N, 3, 3)
+    A = WR * (scales * scale_modifier)[:, None, :]           # (N, 3, 3) = W R diag(s)
 
-    zero = jnp.zeros_like(tz_safe)
     j00 = focal_x / tz_safe
     j02 = -(focal_x * tx) / (tz_safe * tz_safe)
     j11 = focal_y / tz_safe
     j12 = -(focal_y * ty) / (tz_safe * tz_safe)
-    J = jnp.stack(
-        [jnp.stack([j00, zero, j02], axis=-1),
-         jnp.stack([zero, j11, j12], axis=-1)], axis=-2)     # (N, 2, 3)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, covv, J)       # (N, 2, 2)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    # B = J A, rows B0 = j00*A0 + j02*A2, B1 = j11*A1 + j12*A2  (N, 3) each
+    B0 = j00[:, None] * A[:, 0, :] + j02[:, None] * A[:, 2, :]
+    B1 = j11[:, None] * A[:, 1, :] + j12[:, None] * A[:, 2, :]
+    a = jnp.sum(B0 * B0, axis=-1) + 0.3
+    b = jnp.sum(B0 * B1, axis=-1)
+    c = jnp.sum(B1 * B1, axis=-1) + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0.0, det, 1.0)

@@ -136,3 +136,48 @@ class TestNonAlignedResolution:
                                 jnp.ones(3))
         assert out.image.shape == (3, 72, 96)
         np.testing.assert_allclose(out.image, dense.image, atol=2e-5)
+
+
+class TestProjectionCovariance:
+    def test_closed_form_matches_einsum(self):
+        """The closed-form 2D covariance equals the explicit
+        J (W Sigma W^T) J^T einsum chain."""
+        from dimo_tpu.ops.rasterizer import projection as P
+        from dimo_tpu.ops import quat as quat_ops
+        rng = np.random.RandomState(0)
+        n = 50
+        means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+        scales = jnp.asarray(np.exp(rng.uniform(-3, -2, (n, 3))), jnp.float32)
+        quats = jnp.asarray(rng.randn(n, 4), jnp.float32)
+        cam = cameras.Camera.from_c2w(cameras.orbit_camera(5, 40, 2.0), FOV, FOV)
+        opac = jnp.ones((n, 1)) * 0.5
+        sh = jnp.zeros((n, 1, 3))
+        p = P.project(means, scales, quats, opac, sh, cam.world_view,
+                      cam.full_proj, cam.campos, cam.tan_fovx, cam.tan_fovy,
+                      W, H)
+        # explicit reference chain
+        hom = jnp.concatenate([means, jnp.ones((n, 1))], -1)
+        p_view = hom @ cam.world_view
+        tz = p_view[:, 2]
+        fx = W / (2.0 * cam.tan_fovx)
+        fy = H / (2.0 * cam.tan_fovy)
+        limx, limy = 1.3 * cam.tan_fovx, 1.3 * cam.tan_fovy
+        tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
+        ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
+        Rm = quat_ops.to_matrix(quats)
+        M = Rm * scales[:, None, :]
+        cov3d = M @ jnp.swapaxes(M, -1, -2)
+        Rv = jnp.asarray(cam.world_view)[:3, :3].T
+        covv = jnp.einsum("ij,njk,lk->nil", Rv, cov3d, Rv)
+        zero = jnp.zeros_like(tz)
+        J = jnp.stack([
+            jnp.stack([fx / tz, zero, -(fx * tx) / (tz * tz)], -1),
+            jnp.stack([zero, fy / tz, -(fy * ty) / (tz * tz)], -1)], -2)
+        cov2d = jnp.einsum("nij,njk,nlk->nil", J, covv, J)
+        a_ref = cov2d[:, 0, 0] + 0.3
+        b_ref = cov2d[:, 0, 1]
+        c_ref = cov2d[:, 1, 1] + 0.3
+        det = a_ref * c_ref - b_ref ** 2
+        conic_ref = jnp.stack([c_ref / det, -b_ref / det, a_ref / det], -1)
+        np.testing.assert_allclose(np.asarray(p.conic), np.asarray(conic_ref),
+                                   rtol=2e-3, atol=1e-3)
