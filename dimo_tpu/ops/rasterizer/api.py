@@ -84,6 +84,11 @@ def rasterize(
     h_pad = _round_up(height, TILE_H)
     w_pad = _round_up(width, TILE_W)
 
+    # a tile can never hold more entries than gaussians exist — clamping
+    # saves slab memory/compute for small scenes (and avoids exotic
+    # pad-capacity kernel shapes)
+    capacity = min(capacity, _round_up(means3d.shape[0], 8))
+
     lists = tiles_mod.build_tile_lists(
         lax.stop_gradient(mean2d), p.radius, lax.stop_gradient(p.depth),
         p.in_frustum, h_pad, w_pad, capacity)
