@@ -99,11 +99,20 @@ def get_features(p: GaussianParams) -> jnp.ndarray:
 
 
 def sample_latent(p: GaussianParams, index, rng=None):
-    """Latent code for one motion; VAE reparameterizes when rng given."""
+    """Latent code for one motion; VAE reparameterizes when rng given.
+
+    Row selection is a one-hot matmul rather than `codes[index]`: the
+    gather fused into the TimeNet graph reproducibly crashes this
+    environment's TPU compile helper (SIGILL), and the matmul's transpose
+    is a clean outer product instead of a scatter-add."""
+    def pick(table):
+        oh = jax.nn.one_hot(index, table.shape[0], dtype=table.dtype)
+        return oh @ table
+
     if "codes" in p.latent:
-        return p.latent["codes"][index]
-    mu = p.latent["mu"][index]
-    log_var = p.latent["log_var"][index]
+        return pick(p.latent["codes"])
+    mu = pick(p.latent["mu"])
+    log_var = pick(p.latent["log_var"])
     if rng is None:
         return mu
     std = jnp.exp(0.5 * log_var)
