@@ -55,8 +55,16 @@ def main() -> None:
         imgs, msks = load_motion_data(opt.test_unaligned_motion_data)
         test_modes.run_test_unaligned_motion(tr, imgs, msks)
     elif opt.test_language:
+        text_emb = None
+        if opt.get("test_text_emb"):
+            # precomputed BERT pooled embedding (.npy) for environments
+            # without the bert-base-cased weights cached
+            text_emb = np.load(opt.test_text_emb)
+            if text_emb.ndim == 2:
+                text_emb = text_emb[0]
         test_modes.run_test_language(tr, opt.test_text_prompt,
-                                     render_type=opt.render_type)
+                                     render_type=opt.render_type,
+                                     text_emb=text_emb)
     elif opt.test_interpolation:
         test_modes.run_test_interpolation(tr, render_type=opt.render_type)
     elif opt.test_paper:
