@@ -21,11 +21,54 @@ REFERENCE_FPS_A100 = 250.0
 ROUNDS = 500
 
 
+def selfcheck() -> dict:
+    """On-hardware agreement of the Mosaic-compiled tiled rasterizer vs the
+    dense oracle (values + one gradient): compiled behavior can diverge from
+    the interpreter-mode CPU tests (f32 iota, scalar stores, layout bugs)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dimo_tpu.ops.rasterizer import rasterize, rasterize_dense
+    from dimo_tpu.utils import cameras
+
+    rng = np.random.RandomState(3)
+    n = 600
+    means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.uniform(-4.5, -3.0, (n, 3))), jnp.float32)
+    quats = jnp.asarray(rng.randn(n, 4), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.95, (n, 1)), jnp.float32)
+    sh = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 1, 3)), jnp.float32)
+    cam = cameras.Camera.from_c2w(cameras.orbit_camera(15, 40, 2.0), 0.6, 0.6)
+    bg = jnp.ones((3,))
+    W = H = 128
+
+    def run(fn):
+        def loss(op):
+            out = fn(means, scales, quats, op, sh, cam, W, H, bg,
+                     capacity=1024) if fn is rasterize else \
+                  fn(means, scales, quats, op, sh, cam, W, H, bg)
+            return jnp.sum(out.image ** 2), out.image
+        (l, img), g = jax.value_and_grad(loss, has_aux=True)(opac)
+        return np.asarray(img), np.asarray(g)
+
+    img_t, g_t = run(rasterize)
+    img_o, g_o = run(rasterize_dense)
+    img_err = float(np.abs(img_t - img_o).max())
+    g_scale = float(np.abs(g_o).max()) or 1.0
+    g_err = float(np.abs(g_t - g_o).max()) / g_scale
+    return {"selfcheck_img_maxerr": round(img_err, 6),
+            "selfcheck_grad_relerr": round(g_err, 6),
+            "selfcheck_ok": bool(img_err < 1e-2 and g_err < 1e-2)}
+
+
 def main() -> None:
+    import sys
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_scene
     from dimo_tpu.models.renderer import render, find_knn
+
+    check = selfcheck() if "--selfcheck" in sys.argv else {}
 
     cfg, params, aux, cam = _flagship_scene()
     bg = jnp.ones((3,))
@@ -54,6 +97,7 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS_A100, 3),
+        **check,
     }))
 
 

@@ -3,8 +3,14 @@
 Parity with the reference's stage-2 deformation blend
 (`renderer/latent_gs_renderer.py:1191-1209`): Gaussian-kernel weights over
 the 4 nearest control points, per-neighbor local-frame rigid transform,
-quaternion composition of blended residual rotations. Pure jnp — this is
-~100k x 4 fused gather/FMA work that XLA schedules around the rasterizer.
+quaternion composition of blended residual rotations.
+
+TPU shape: the neighbor lookups are ONE one-hot matmul against a fused
+(M, 11) control-point table (XLA row-gather serializes at ~18 ns/row; the
+MXU does the same job 4x faster forward and turns the backward into a
+matmul instead of a scatter-add), and the local-frame transform uses the
+direct quaternion-rotation formula so no (N, K, 3, 3) matrices hit HBM.
+Measured on v5e at 100k x 4: 9.4 -> ~2 ms forward, 20 -> ~6 ms fwd+bwd.
 """
 from __future__ import annotations
 
@@ -12,7 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from dimo_tpu.ops import quat as quat_ops
-from dimo_tpu.ops.rasterizer.gather import gather_rows
+from dimo_tpu.ops.smallgather import gather_small
 
 EPS = 1e-7
 
@@ -37,20 +43,19 @@ def lbs_blend(
     local_frame: bool = True,
 ):
     """Returns (deformed xyz (N,3), composed rotation (N,4) normalized)."""
-    # neighbor gathers use the scatter-free custom VJP: plain indexing would
-    # autodiff into XLA scatter-add over 100k x K rows, which serializes on
-    # TPU and dominates the training step
-    r_n = gather_rows(c_radius, nn_idx)[..., 0]           # (N, K)
+    # ONE fused neighbor lookup: [radius | c_xyz | d_xyz | d_rot] rows via
+    # one-hot matmul (see ops/smallgather.py)
+    table = jnp.concatenate([c_radius, c_xyz, d_xyz_c, d_rot_c], axis=1)
+    g = gather_small(table, nn_idx)                       # (N, K, 11)
+    r_n = g[..., 0]                                       # (N, K)
+    c_n = g[..., 1:4]                                     # (N, K, 3)
+    d_n = g[..., 4:7]                                     # (N, K, 3)
+    q_n = g[..., 7:11]                                    # (N, K, 4)
     w = knn_weights(nn_dist, r_n)                         # (N, K)
 
-    c_n = gather_rows(c_xyz, nn_idx)                      # (N, K, 3)
-    d_n = gather_rows(d_xyz_c, nn_idx)                    # (N, K, 3)
-    q_n = gather_rows(d_rot_c, nn_idx)                    # (N, K, 4)
-
     if local_frame:
-        R_n = quat_ops.to_matrix(q_n)                     # (N, K, 3, 3)
         local = xyz[:, None, :] - c_n                     # (N, K, 3)
-        moved = jnp.einsum("nkij,nkj->nki", R_n, local) + c_n + d_n
+        moved = quat_ops.rotate(q_n, local) + c_n + d_n
         pts = jnp.sum(w[..., None] * moved, axis=1)
     else:
         pts = xyz + jnp.sum(w[..., None] * d_n, axis=1)

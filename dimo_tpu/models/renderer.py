@@ -27,13 +27,23 @@ from dimo_tpu.ops.rasterizer import rasterize, rasterize_dense
 
 def find_knn(params: G.GaussianParams, aux: G.GaussianAux, k: int = 4):
     """KNN of every gaussian among the active control points
-    (reference find_knn, `main_train_dimo.py:502-509`). Non-differentiable."""
+    (reference find_knn, `main_train_dimo.py:502-509`). Non-differentiable.
+
+    Iterated argmin instead of lax.top_k: 8x faster on TPU for k=4 (the
+    top_k lowering sorts the whole 512-wide axis; see ops/neighbors.knn)."""
     c = lax.stop_gradient(params.c_xyz)
     x = lax.stop_gradient(params.xyz)
     d2 = neighbors.pairwise_sq_dists(x, c)
     d2 = jnp.where(aux.c_active[None, :], d2, jnp.inf)
-    neg, idx = lax.top_k(-d2, k)
-    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+    col = jnp.arange(c.shape[0], dtype=jnp.int32)[None]
+    ds, ids = [], []
+    for _ in range(k):
+        i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        ds.append(jnp.min(d2, axis=1))
+        ids.append(i)
+        d2 = jnp.where(col == i[:, None], jnp.inf, d2)
+    return (jnp.sqrt(jnp.maximum(jnp.stack(ds, 1), 0.0)),
+            jnp.stack(ids, 1))
 
 
 def render(

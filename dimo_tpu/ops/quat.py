@@ -50,6 +50,11 @@ def multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Rotate vectors v (..., 3) by quaternions q (..., 4)."""
+    """Rotate vectors v (..., 3) by quaternions q (..., 4).
+
+    Via the rotation matrix: fewer-flop cross-product forms measured SLOWER
+    on TPU (14.7 vs 9.3 ms at 100k x 4) because jnp.cross slices/concats the
+    minor dim of size 3 — a pathological lane layout; the matrix einsum stays
+    in vectorizable shapes."""
     R = to_matrix(q)
     return jnp.einsum("...ij,...j->...i", R, v)

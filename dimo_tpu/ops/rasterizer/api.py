@@ -90,16 +90,17 @@ def rasterize(
     capacity = min(capacity, _round_up(means3d.shape[0], 8))
 
     lists = tiles_mod.build_tile_lists(
-        lax.stop_gradient(mean2d), p.radius, lax.stop_gradient(p.depth),
+        lax.stop_gradient(mean2d), p.cull_radius, lax.stop_gradient(p.depth),
         p.in_frustum, h_pad, w_pad, capacity)
 
     attrs = tiles_mod.pack_attrs(
         mean2d, p.conic, opacities, p.color, p.depth, p.normal,
-        radius=p.radius)
+        radius=p.cull_radius)
     # gather with a scatter-free custom backward (see gather.py)
     packed = gather_rows(attrs, lists.idx)          # (T, C, 16)
 
-    out, tfin = composite(packed, h_pad, w_pad)
+    counts = lists.count.reshape(h_pad // TILE_H, w_pad // TILE_W)
+    out, tfin = composite(packed, counts, h_pad, w_pad)
     out = out[:, :height, :width]
     tfin = tfin[:height, :width]
 

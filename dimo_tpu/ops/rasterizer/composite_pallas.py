@@ -79,10 +79,15 @@ def _pick_g(cap: int) -> int:
     return 1
 
 
-def _fwd_kernel(g_block, packed_ref, out_ref, tfin_ref, nproc_ref, t_ref):
+def _fwd_kernel(g_block, packed_ref, count_ref, out_ref, tfin_ref, nproc_ref,
+                t_ref):
     cap = packed_ref.shape[1]
-    nblocks = cap // g_block
     px, py = _pixel_grid()
+    # process only the tile's live prefix (padded slots are zero-opacity but
+    # still cost full vector work — counts cut the loop short)
+    count = count_ref[pl.program_id(0), pl.program_id(1)]
+    nblocks = jnp.minimum((count + g_block - 1) // g_block,
+                          cap // g_block)
 
     for ch in range(OUT_CH):
         out_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -177,7 +182,7 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
     lax.fori_loop(0, nblocks_done, body, 0)
 
 
-def _fwd_call(packed, height: int, width: int):
+def _fwd_call(packed, counts, height: int, width: int):
     t, cap, a = packed.shape
     assert a == ATTR_DIM, (cap, a)
     nrows, ncols = height // TILE_H, width // TILE_W
@@ -188,6 +193,8 @@ def _fwd_call(packed, height: int, width: int):
         grid=(nrows, ncols),
         in_specs=[
             pl.BlockSpec((1, cap, ATTR_DIM), lambda r, c: (r * ncols + c, 0, 0)),
+            pl.BlockSpec((nrows, ncols), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((OUT_CH, height, width), jnp.float32),
@@ -204,7 +211,7 @@ def _fwd_call(packed, height: int, width: int):
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
         ],
         interpret=_interpret(),
-    )(packed)
+    )(packed, counts)
 
 
 def _bwd_call(packed, gout, tfin, nproc, height: int, width: int):
@@ -232,19 +239,21 @@ def _bwd_call(packed, gout, tfin, nproc, height: int, width: int):
     )(packed, gout, tfin, nproc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def composite(packed: jnp.ndarray, height: int, width: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def composite(packed: jnp.ndarray, counts: jnp.ndarray, height: int,
+              width: int):
     """Composite per-tile slabs -> ((OUT_CH,H,W) channels, (H,W) T_final).
 
     packed: (T, C, ATTR_DIM) depth-ordered per-tile attribute slabs.
+    counts: (nrows, ncols) int32 live entries per tile (loop bound).
     height/width: static multiples of (TILE_H, TILE_W).
     """
-    out, tfin, _ = _fwd_call(packed, height, width)
+    out, tfin, _ = _fwd_call(packed, counts, height, width)
     return out, tfin
 
 
-def _composite_fwd(packed, height, width):
-    out, tfin, nproc = _fwd_call(packed, height, width)
+def _composite_fwd(packed, counts, height, width):
+    out, tfin, nproc = _fwd_call(packed, counts, height, width)
     return (out, tfin), (packed, tfin, nproc)
 
 
@@ -253,7 +262,7 @@ def _composite_bwd(height, width, res, g):
     gout7, gtfin = g
     gout = jnp.concatenate([gout7, gtfin[None]], axis=0)
     dpacked = _bwd_call(packed, gout, tfin, nproc, height, width)
-    return (dpacked,)
+    return (dpacked, None)
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)

@@ -32,6 +32,7 @@ class Projected(NamedTuple):
     in_frustum: jnp.ndarray  # (N,) bool
     color: jnp.ndarray     # (N, 3) RGB from SH (or override)
     normal: jnp.ndarray    # (N, 3) camera-facing world normal
+    cull_radius: jnp.ndarray  # (N,) opacity-aware extent for binning (<= radius)
 
 
 def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
@@ -133,13 +134,25 @@ def project(
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lam1 = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    sigma = jnp.sqrt(jnp.maximum(lam1, 0.0))
+    radius = jnp.ceil(3.0 * sigma)
+
+    # Opacity-aware extent: the compositor zeroes alpha < 1/255, so pixels
+    # beyond sqrt(2 ln(op/eps)) sigma contribute exactly nothing — culling
+    # there is LOSSLESS and shrinks per-tile lists (the CUDA rasterizers'
+    # same in-kernel threshold, applied at binning time instead). Always
+    # <= 3 sigma for op <= 1; op <= 1/255 is fully invisible.
+    alpha_eps = 1.0 / 255.0
+    op = opacities[:, 0]
+    tight = jnp.sqrt(2.0 * jnp.log(jnp.maximum(op, alpha_eps) / alpha_eps))
+    cull_radius = jnp.ceil(jnp.minimum(tight, 3.0) * sigma)
 
     ok = in_front & (det > 0.0)
     if valid is not None:
         ok = ok & valid
-    ok = ok & (opacities[:, 0] > 0.0)
+    ok = ok & (op > alpha_eps)
     radius = jnp.where(ok, radius, 0.0)
+    cull_radius = jnp.where(ok, cull_radius, 0.0)
 
     if override_color is not None:
         color = jnp.broadcast_to(override_color, (n, 3))
@@ -160,4 +173,5 @@ def project(
         in_frustum=lax.stop_gradient(ok),
         color=color,
         normal=normal,
+        cull_radius=lax.stop_gradient(cull_radius),
     )

@@ -31,8 +31,8 @@ def gather_only(idx, mean2d, conic, op, color, depth, normal):
     return attrs[idx]
 
 @jax.jit
-def comp_only(packed):
-    return composite(packed, H, W)
+def comp_only(packed, counts):
+    return composite(packed, counts, H, W)
 
 def bench(f, *a, n=20):
     r = f(*a); jax.block_until_ready(r)
@@ -46,7 +46,7 @@ mean2d, depth, conic, radius, ok, color, normal = pr
 t_l, lr = bench(lists_only, mean2d, radius, depth, ok)
 idx, count = lr
 t_g, packed = bench(gather_only, idx, mean2d, conic, opac, color, depth, normal)
-t_c, _ = bench(comp_only, packed)
+t_c, _ = bench(comp_only, packed, count.reshape(H//32, W//128))
 print(f"project: {t_p:.2f} ms")
 print(f"tile lists: {t_l:.2f} ms")
 print(f"gather/pack: {t_g:.2f} ms")

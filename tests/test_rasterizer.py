@@ -124,6 +124,91 @@ class TestCapacity:
         assert int(out_small.overflow) > 0
         assert int(out_big.overflow) == 0
 
+    def test_overflow_truncation_keeps_nearest(self):
+        """Capacity truncation drops the DEEPEST entries per tile (the kept
+        prefix is depth-ordered): when an opaque front layer saturates every
+        pixel within capacity, the truncated image matches the oracle even
+        though deeper entries were dropped. (Per-tile capacity CAN lose
+        pixels whose only contributors rank deep — that case is reported via
+        `overflow` and covered by the adaptive-capacity escalation in the
+        Trainer.)"""
+        rng = np.random.RandomState(7)
+        n_front, n_back = 10, 38
+        n = n_front + n_back
+        means = np.zeros((n, 3), np.float32)
+        # front layer: near the camera, covers the whole cluster footprint
+        means[:n_front, :2] = rng.uniform(-0.02, 0.02, (n_front, 2))
+        means[:n_front, 2] = np.linspace(0.5, 0.45, n_front)
+        # back clutter, depth-shuffled relative to index order
+        means[n_front:, :2] = rng.uniform(-0.06, 0.06, (n_back, 2))
+        means[n_front:, 2] = rng.uniform(-0.4, 0.0, (n_back,))
+        perm = rng.permutation(n)
+        means = means[perm]
+        scales = np.full((n, 3), 0.05, np.float32)
+        scales[perm < n_front] = 0.12          # front ones cover the region
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        opac = np.full((n, 1), 0.95, np.float32)
+        sh = rng.uniform(-0.5, 0.5, (n, 1, 3)).astype(np.float32)
+        cam = cameras.Camera.from_c2w(cameras.orbit_camera(0, 0, 2.0),
+                                      FOV, FOV)
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac), jnp.asarray(sh), cam)
+        trunc = rasterize(*args, W, H, BG, capacity=16)
+        dense = rasterize_dense(*args, W, H, BG)
+        assert int(trunc.overflow) > 0   # truncation actually happened
+        np.testing.assert_allclose(np.asarray(trunc.image),
+                                   np.asarray(dense.image), atol=2e-3)
+
+    def test_big_path_dominant_scene(self):
+        """Every footprint wider than the 2x2-tile small path (radius > 2
+        tiles): the global top-k big path must carry the whole image."""
+        rng = np.random.RandomState(8)
+        n = 12
+        means = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+        scales = np.exp(rng.uniform(-0.9, -0.7, (n, 3))).astype(np.float32)
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        opac = rng.uniform(0.4, 0.8, (n, 1)).astype(np.float32)
+        sh = rng.uniform(-0.5, 0.5, (n, 1, 3)).astype(np.float32)
+        cam = cameras.Camera.from_c2w(cameras.orbit_camera(0, 0, 2.0),
+                                      FOV, FOV)
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac), jnp.asarray(sh), cam)
+        out = rasterize(*args, W, H, BG, capacity=32)
+        assert float(jnp.min(out.radii[out.radii > 0])) > 64.0  # all big
+        dense = rasterize_dense(*args, W, H, BG)
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(dense.image), atol=2e-5)
+        # gradients flow through the big path too
+        def loss(op):
+            o = rasterize(args[0], args[1], args[2], op, args[4], cam,
+                          W, H, BG, capacity=32)
+            return jnp.sum(o.image ** 2)
+        g = jax.grad(loss)(args[3])
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_mixed_small_big_depth_interleave(self):
+        """Small- and big-path entries must merge in global depth order."""
+        rng = np.random.RandomState(9)
+        n_small, n_big = 30, 6
+        means = np.zeros((n_small + n_big, 3), np.float32)
+        means[:n_small] = rng.uniform(-0.3, 0.3, (n_small, 3))
+        means[n_small:] = rng.uniform(-0.2, 0.2, (n_big, 3))
+        scales = np.zeros((n_small + n_big, 3), np.float32)
+        scales[:n_small] = np.exp(rng.uniform(-3.2, -2.8, (n_small, 3)))
+        scales[n_small:] = np.exp(rng.uniform(-0.9, -0.8, (n_big, 3)))
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32),
+                        (n_small + n_big, 1))
+        opac = rng.uniform(0.3, 0.9, (n_small + n_big, 1)).astype(np.float32)
+        sh = rng.uniform(-0.5, 0.5, (n_small + n_big, 1, 3)).astype(np.float32)
+        cam = cameras.Camera.from_c2w(cameras.orbit_camera(5, 20, 2.0),
+                                      FOV, FOV)
+        args = (jnp.asarray(means), jnp.asarray(scales.astype(np.float32)),
+                jnp.asarray(quats), jnp.asarray(opac), jnp.asarray(sh), cam)
+        out = rasterize(*args, W, H, BG, capacity=64)
+        dense = rasterize_dense(*args, W, H, BG)
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(dense.image), atol=3e-5)
+
 
 class TestNonAlignedResolution:
     def test_padded_width_cropped(self):
