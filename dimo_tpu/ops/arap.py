@@ -22,7 +22,7 @@ from dimo_tpu.ops.neighbors import pairwise_sq_dists
 
 def connectivity_shared(points_t: jnp.ndarray, k: int = 10, radius: float = 0.1,
                         valid: jnp.ndarray | None = None):
-    """Neighbors within `radius` in every frame.
+    """Neighbors within `radius` in every frame (dense small-N path).
 
     Args:
       points_t: (T, N, 3) node positions over T sampled times.
@@ -39,6 +39,51 @@ def connectivity_shared(points_t: jnp.ndarray, k: int = 10, radius: float = 0.1,
     # nearest-first among qualifying, using frame-0 distances
     score = jnp.where(inside, d2[0], jnp.inf)
     neg, idx = lax.top_k(-score, k)
+    mask = jnp.isfinite(-neg)
+    return idx, mask
+
+
+def connectivity_sampled(points_t: jnp.ndarray, sel: jnp.ndarray,
+                         k: int = 10, radius: float = 0.1,
+                         valid: jnp.ndarray | None = None,
+                         candidates: int = 24):
+    """Shared-edge connectivity for a SUBSET of source nodes, O(S*N + T*S*Kc).
+
+    Same semantics as connectivity_shared restricted to rows `sel`, except
+    the "within radius in every frame" test is evaluated only on the Kc
+    nearest frame-0 candidates (a gaussian that is outside the candidate set
+    at frame 0 is essentially never a shared-radius neighbor; the reference's
+    per-frame ball_query caps at K=11 candidates per frame anyway,
+    `utils/deform_utils.py:123`). Avoids the (T, N, N) blow-up.
+
+    Args:
+      points_t: (T, N, 3); sel: (S,) int32 sampled node rows.
+      valid: optional (N,) node mask.
+    Returns:
+      idx (S, k) int32 neighbor rows into N, mask (S, k) bool.
+    """
+    t, n, _ = points_t.shape
+    kc = min(candidates, n)
+    p0 = points_t[0]
+    d2_0 = pairwise_sq_dists(p0[sel], p0)                        # (S, N)
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]
+    bad = col == sel[:, None]                                    # self-edges
+    if valid is not None:
+        bad = bad | ~valid[None, :]
+    score0 = jnp.where(bad, jnp.inf, d2_0)
+    neg0, cand = lax.top_k(-score0, kc)                          # (S, Kc)
+    cand_d0 = -neg0
+
+    # per-frame verification on candidates only: (T, S, Kc)
+    src_t = points_t[:, sel]                                     # (T, S, 3)
+    cand_t = points_t[:, cand.reshape(-1)].reshape(t, *cand.shape, 3)
+    d2_t = jnp.sum((src_t[:, :, None, :] - cand_t) ** 2, axis=-1)
+    inside_all = jnp.all(d2_t < radius * radius, axis=0)         # (S, Kc)
+    inside_all = inside_all & jnp.isfinite(cand_d0)
+
+    score = jnp.where(inside_all, cand_d0, jnp.inf)
+    neg, pick = lax.top_k(-score, k)                             # (S, k)
+    idx = jnp.take_along_axis(cand, pick, axis=1)
     mask = jnp.isfinite(-neg)
     return idx, mask
 
@@ -96,14 +141,25 @@ def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def arap_error(points_t: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,
-               weight: jnp.ndarray | None = None) -> jnp.ndarray:
-    """ARAP energy of a trajectory (T, N, 3) w.r.t. frame 0."""
-    t = points_t.shape[0]
+               weight: jnp.ndarray | None = None,
+               sel: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ARAP energy of a trajectory (T, N, 3) w.r.t. frame 0.
+
+    sel: optional (S,) source-node rows matching idx/mask rows (the
+    reference's sample_idx, `utils/deform_utils.py:219-224`); None = rows
+    align with points_t's node axis.
+    """
     w = mask.astype(points_t.dtype) if weight is None else weight
-    e0 = _edge_matrix(points_t[0], idx, mask)
+
+    def edges(pt):
+        src = pt if sel is None else pt[sel]
+        e = src[:, None, :] - pt[idx]
+        return jnp.where(mask[..., None], e, 0.0)
+
+    e0 = edges(points_t[0])
 
     def per_frame(pt):
-        et = _edge_matrix(pt, idx, mask)
+        et = edges(pt)
         R = _procrustes(e0, et, w)
         rigid = jnp.einsum("nij,nkj->nki", R, e0)
         stretch = et - rigid
@@ -115,13 +171,33 @@ def arap_error(points_t: jnp.ndarray, idx: jnp.ndarray, mask: jnp.ndarray,
 
 def arap_loss(base_pts: jnp.ndarray, d_xyz_t: jnp.ndarray,
               valid: jnp.ndarray | None = None, k: int = 10,
-              radius: float = 0.1) -> jnp.ndarray:
+              radius: float = 0.1, sample_num: int = 512,
+              rng: jax.Array | None = None) -> jnp.ndarray:
     """Reference arap_loss_v2 (`latent_gs_renderer.py:1081-1094`): trajectory
-    = stop_grad(base) + deformation(t); shared-edge graph; energy vs frame 0.
+    = stop_grad(base) + deformation(t); shared-edge graph; energy vs frame 0,
+    with the Procrustes/energy restricted to `sample_num` random nodes when
+    the graph is larger (reference cal_arap_error sampling with replacement,
+    `utils/deform_utils.py:219-224`). Peak memory is O(S*N), never (T,N,N).
 
     base_pts: (N, 3); d_xyz_t: (T, N, 3) TimeNet translations at T times.
+    rng: sampling key; required when N > sample_num (matches the reference's
+    fresh np.random.choice each call).
     """
     pts_t = lax.stop_gradient(base_pts)[None] + d_xyz_t
-    idx, mask = connectivity_shared(lax.stop_gradient(pts_t), k=k,
-                                    radius=radius, valid=valid)
+    pts_ng = lax.stop_gradient(pts_t)
+    n = base_pts.shape[0]
+    if n > sample_num:
+        if rng is None:
+            raise ValueError("arap_loss: rng required when N > sample_num")
+        if valid is not None:
+            p = valid.astype(jnp.float32)
+            p = p / jnp.maximum(jnp.sum(p), 1.0)
+            sel = jax.random.choice(rng, n, (sample_num,), replace=True, p=p)
+        else:
+            sel = jax.random.choice(rng, n, (sample_num,), replace=True)
+        sel = sel.astype(jnp.int32)
+        idx, mask = connectivity_sampled(pts_ng, sel, k=k, radius=radius,
+                                         valid=valid)
+        return arap_error(pts_t, idx, mask, sel=sel)
+    idx, mask = connectivity_shared(pts_ng, k=k, radius=radius, valid=valid)
     return arap_error(pts_t, idx, mask)

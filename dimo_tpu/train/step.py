@@ -67,6 +67,10 @@ class LossConfig:
     normal_reg_start_iter: int = 200
     arap_start_iter_s1: int = 1000
     arap_end_iter_s2: int = 2000
+    # densification stats window (reference `main_train_dimo.py:427`)
+    fps_iter: int = 1000
+    density_start_iter: int = 100
+    density_end_iter: int = 1000
     # optimizer schedule params
     position_lr_init: float = 0.01
     position_lr_final: float = 0.0002
@@ -272,16 +276,17 @@ def make_train_step(
             m_idx = batch["latent_idx"].reshape(
                 n_motions, n_views * n_frames)[:, 0]
             q_times = jax.random.uniform(arap_rng, (lcfg.arap_t_samples,))
+            node_rngs = jax.random.split(arap_rng, n_motions)
 
-            def arap_for_motion(li):
+            def arap_for_motion(li, nrng):
                 lat = G.sample_latent(params, li, None)
                 d_xyz_t, _ = jax.vmap(
                     lambda t: timenet_mod.apply_timenet(
                         params.timenet, base, t, lat))(q_times)
                 return arap_mod.arap_loss(base, d_xyz_t, valid=node_valid,
-                                          radius=lcfg.arap_radius)
+                                          radius=lcfg.arap_radius, rng=nrng)
 
-            arap_l = jnp.sum(jax.vmap(arap_for_motion)(m_idx))
+            arap_l = jnp.sum(jax.vmap(arap_for_motion)(m_idx, node_rngs))
             loss = loss + arap_gate * lcfg.lambda_arap * arap_l
 
         # --- stage-1 trajectory guidance (s2)
@@ -343,13 +348,20 @@ def make_train_step(
                                            lr_tree)
 
         # densification statistics from the LAST render in the batch
-        # (reference: out of the python loop, `main_train_dimo.py:429-431`)
+        # (reference: out of the python loop, `main_train_dimo.py:429-431`),
+        # accumulated ONLY inside the densify window the prune consumes
+        # (`main_train_dimo.py:427`: step % FPS_iter >= density_start_iter
+        # and step <= density_end_iter)
         new_aux = state.aux
         if stage == "s1":
-            new_aux = G.update_max_radii(new_aux, vis_aux["radii"],
-                                         vis_aux["visibility"])
-            new_aux = G.add_densification_stats(new_aux, gtaps[-1],
-                                                vis_aux["visibility"])
+            upd = G.update_max_radii(new_aux, vis_aux["radii"],
+                                     vis_aux["visibility"])
+            upd = G.add_densification_stats(upd, gtaps[-1],
+                                            vis_aux["visibility"])
+            in_window = ((step % lcfg.fps_iter >= lcfg.density_start_iter)
+                         & (step <= lcfg.density_end_iter))
+            new_aux = jax.tree.map(
+                lambda a, b: jnp.where(in_window, a, b), upd, new_aux)
 
         new_state = TrainState(params=new_params, aux=new_aux, opt=new_opt,
                                step=step, rng=rng)

@@ -94,3 +94,54 @@ class TestARAP:
         valid = jnp.zeros((pts.shape[0],), bool)
         idx, mask = arap.connectivity_shared(traj, k=6, radius=0.4, valid=valid)
         assert not bool(jnp.any(mask))
+
+
+class TestARAPSampled:
+    """Node-subsampled path (reference cal_arap_error sample_num=512,
+    `utils/deform_utils.py:219-224`) — must avoid (T,N,N) materialization."""
+
+    def test_sampled_matches_dense_semantics(self):
+        """Rigid motion -> ~0 energy; stretch -> positive, through sampling."""
+        rng = np.random.RandomState(0)
+        pts = rng.rand(600, 3).astype(np.float32) * 0.5
+        ang = 0.3
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        rigid_d = (pts @ R.T + np.array([0.1, 0, 0], np.float32)) - pts
+
+        key = jax.random.PRNGKey(0)
+        zero = jnp.zeros_like(jnp.asarray(pts))
+        e_rigid = float(arap.arap_loss(
+            jnp.asarray(pts), jnp.stack([zero, jnp.asarray(rigid_d)]),
+            radius=0.2, sample_num=128, rng=key))
+        e_stretch = float(arap.arap_loss(
+            jnp.asarray(pts), jnp.stack([zero, jnp.asarray(pts) * 0.8]),
+            radius=0.2, sample_num=128, rng=key))
+        assert e_rigid < 1e-4
+        assert e_stretch > 1e-2
+
+    def test_large_n_runs_without_tnn(self):
+        """Capacity-scale node count: (T,N,N) would be 8*20k*20k*4 = 12.8 GB.
+        Passing = the sampled path never builds it."""
+        rng = np.random.RandomState(1)
+        n = 20_000
+        pts = jnp.asarray(rng.rand(n, 3), jnp.float32)
+        d = jnp.asarray(rng.randn(2, n, 3) * 0.01, jnp.float32)
+        valid = jnp.ones((n,), bool).at[-100:].set(False)
+
+        def f(dd):
+            return arap.arap_loss(pts, dd, valid=valid, radius=0.1,
+                                  rng=jax.random.PRNGKey(2))
+
+        val, g = jax.value_and_grad(f)(d)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_rng_required_at_scale(self):
+        pts = jnp.zeros((1000, 3))
+        d = jnp.zeros((2, 1000, 3))
+        try:
+            arap.arap_loss(pts, d, sample_num=128)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
