@@ -12,8 +12,16 @@ Faithful to the richzhang implementation:
     spatial mean, sum over the 5 taps.
 
 Weights load from an .npz produced by scripts/convert_lpips.py (requires
-torchvision+lpips, run wherever those are available). Without weights the
-loss is disabled (lpips_fn=None) and the driver warns.
+torchvision+lpips or keras, run wherever those are available). When the npz
+is absent the default behavior is a DETERMINISTIC seeded random-VGG fallback
+(see seeded_lpips): same architecture, He-initialized filters from a fixed
+seed, uniform non-negative heads. Random-feature perceptual distances are a
+documented, surprisingly strong baseline (Amir & Weiss, "Understanding &
+simplifying perceptual distances", CVPR 2021) — far closer to LPIPS behavior
+than dropping the λ=1000 term entirely, which is what round 1 silently did.
+The fallback is bit-reproducible across runs/machines, so training parity
+experiments remain comparable; swap in the converted npz for exact reference
+parity.
 """
 from __future__ import annotations
 
@@ -107,9 +115,16 @@ def load_lpips(path: str):
     return lpips_fn
 
 
-def random_init_lpips(seed: int = 0):
-    """Deterministic random-weight LPIPS for tests (architecture exercise
-    only — NOT a perceptual metric)."""
+def seeded_lpips_params(seed: int = 0) -> dict:
+    """Deterministic random-VGG LPIPS parameters (the no-weights fallback).
+
+    He-initialized conv filters from a FIXED numpy seed (bit-reproducible
+    across machines), zero biases, uniform non-negative linear heads scaled
+    1/C. Random-feature perceptual distances correlate far better with
+    perceptual similarity than pixel losses (Amir & Weiss, CVPR 2021), so
+    this keeps the reference's λ=1000 perceptual term ACTIVE in environments
+    where the trained VGG weights cannot be fetched.
+    """
     rng = np.random.RandomState(seed)
     params = {}
     c_in = 3
@@ -121,9 +136,35 @@ def random_init_lpips(seed: int = 0):
         c_in = c_out
     tap_ch = [64, 128, 256, 512, 512]
     for k, c in enumerate(tap_ch):
-        params[f"lin{k}_w"] = jnp.asarray(
-            np.abs(rng.randn(c)).astype(np.float32) / c)
+        params[f"lin{k}_w"] = jnp.full((c,), 1.0 / c, jnp.float32)
+    return params
+
+
+def random_init_lpips(seed: int = 0):
+    """lpips_fn built from seeded_lpips_params (fallback + tests)."""
+    params = seeded_lpips_params(seed)
 
     def lpips_fn(img1, img2):
         return lpips(params, img1, img2)
     return lpips_fn
+
+
+def get_lpips(path: str, fallback: str = "random", seed: int = 0):
+    """The driver entry point: converted weights if present, else the
+    documented fallback ('random') or None ('off').
+
+    Reference behavior being preserved: LPIPS-VGG applied at λ=1000 on every
+    train/finetune step (`main_train_dimo.py:150,340`,
+    `main_test_dimo.py:979`)."""
+    import os
+    if path and os.path.exists(path):
+        return load_lpips(path)
+    if fallback == "random":
+        print(f"[WARN] LPIPS weights not found at {path!r}; using the "
+              "deterministic random-VGG perceptual fallback (see "
+              "models/lpips.py docstring). Provide lpips_weights for exact "
+              "reference parity.")
+        return random_init_lpips(seed)
+    print(f"[WARN] LPIPS weights not found at {path!r} and fallback={fallback!r}; "
+          "LPIPS loss disabled")
+    return None

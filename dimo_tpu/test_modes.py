@@ -160,7 +160,8 @@ def test_cpts(tr, test_stage: str = "s2", render_type: str = "fixed",
 
 
 def run_default_test(tr, render_type: str = "fixed", do_cpts: bool = True):
-    """Reference default test (`main_train_dimo.py:531-617`)."""
+    """Reference default test (`main_test_dimo.py:199-365`): per-motion 4D
+    renders + cpt trajectories, then all-in-one grid-mosaic videos."""
     opt = tr.opt
     tr.load_checkpoint(opt.test_stage, step=opt.get("test_step"))
     os.makedirs(opt.video_save_dir, exist_ok=True)
@@ -168,18 +169,48 @@ def run_default_test(tr, render_type: str = "fixed", do_cpts: bool = True):
     render_fn = _jit_render(tr, stage, int(opt.W), int(opt.H))
     save_name = os.path.basename(str(opt.save_path) or "run").split(".")[0]
 
-    all_imgs = []
+    all_imgs, all_traj, all_traj_3d = [], [], []
     for vi, name in enumerate(tr.input_videos):
         if do_cpts:
-            test_cpts(tr, test_stage=stage, render_type=render_type,
-                      latent_index=vi, motion_video_name=name)
+            _, traj_imgs, traj_imgs_3d, _ = test_cpts(
+                tr, test_stage=stage, render_type=render_type,
+                latent_index=vi, motion_video_name=name)
+            if traj_imgs:
+                all_traj.append(np.stack(traj_imgs))
+            if traj_imgs_3d:
+                all_traj_3d.append(np.stack(traj_imgs_3d).squeeze(0))
         frames = render_sequence(tr, vi, stage, render_type, render_fn)
         all_imgs.append(np.stack(frames))
         kind = "fixed" if render_type == "fixed" else "circle"
         viz.write_video(os.path.join(
             opt.video_save_dir, f"{save_name}_{name}_{stage}_{kind}.mp4"),
             frames)
+
+    # all-in-one grid mosaics (reference `main_test_dimo.py:344-365`; written
+    # into video_save_dir instead of cwd)
+    _write_mosaic(opt.video_save_dir, "all_render_imgs.mp4", all_imgs)
+    if do_cpts:
+        _write_mosaic(opt.video_save_dir, "all_traj_imgs.mp4", all_traj)
+        _write_mosaic(opt.video_save_dir, "all_traj_imgs_3d.mp4", all_traj_3d)
     return all_imgs
+
+
+def _write_mosaic(video_save_dir: str, fname: str, clips: list):
+    """Tile per-motion (F, H, W, C) clips into an n_rows x rows_len grid video
+    (reference mosaic layout, `main_test_dimo.py:345-351`)."""
+    import math
+    if not clips:
+        return
+    n_rows = max(1, math.floor(math.sqrt(len(clips))))
+    rows_len = len(clips) // n_rows
+    if rows_len == 0:
+        return
+    rows = []
+    for r in range(n_rows):
+        row = np.concatenate(clips[r * rows_len:(r + 1) * rows_len], axis=2)
+        rows.append(row[..., :3])
+    grid = np.concatenate(rows, axis=1)
+    viz.write_video(os.path.join(video_save_dir, fname), list(grid))
 
 
 def run_test_interpolation(tr, name1: str | None = None, name2: str | None = None,
@@ -269,12 +300,16 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
                               trainable=frozenset({"latent_code",
                                                    "latent_code_mu",
                                                    "latent_code_log_var"}),
-                              fresh_latent: bool = True):
+                              fresh_latent: bool = True,
+                              lpips_fn=None, log_fn=None):
     """Fit a fresh latent to an unseen motion (reference test_motion /
     finetune_latent, `main_test_dimo.py:645-777,909-1009`).
 
     images: (V, F, S, S, 3) u8; masks: (V, F, S, S) u8 for ONE motion.
     Mutates tr.state.params.latent to a single fitted code.
+    lpips_fn: perceptual loss active during finetuning like the reference
+    (`main_test_dimo.py:979`); log_fn(it, metrics) receives the PSNR/SSIM/
+    LPIPS scalars the reference writes to TensorBoard (`:972-990`).
     """
     from dimo_tpu.train.loop import loss_config_from_opt
     from dimo_tpu.train.step import make_train_step, TrainState
@@ -329,20 +364,26 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
             step_fns[shape_key] = make_train_step(
                 tr.mcfg, lcfg, "s2", res, res, 1, len(views), len(frames),
                 capacity=int(opt.get("tile_capacity", 1024)),
-                trainable_groups=trainable)
+                lpips_fn=lpips_fn, trainable_groups=trainable)
         state, metrics = step_fns[shape_key](state, batch)
+        if log_fn is not None:
+            log_fn(it, metrics)
         if it % 100 == 0:
             print(f"[finetune {it}] loss={float(metrics['loss']):.4f} "
-                  f"psnr={float(metrics['psnr']):.2f}")
+                  f"psnr={float(metrics['psnr']):.2f} "
+                  f"ssim_loss={float(metrics['ssim_loss']):.4f} "
+                  f"lpips={float(metrics['lpips']):.4f}")
     tr.state = tr.state.replace(params=state.params)
     return metrics
 
 
-def run_test_motion(tr, motion_images, motion_masks, iters: int = 1000):
+def run_test_motion(tr, motion_images, motion_masks, iters: int = 1000,
+                    lpips_fn=None, log_fn=None):
     """Full test_motion flow: finetune latent, then render outputs."""
     opt = tr.opt
     tr.load_checkpoint(opt.test_stage, step=opt.get("test_step"))
-    metrics = finetune_latent_to_motion(tr, motion_images, motion_masks, iters)
+    metrics = finetune_latent_to_motion(tr, motion_images, motion_masks, iters,
+                                        lpips_fn=lpips_fn, log_fn=log_fn)
     os.makedirs(opt.video_save_dir, exist_ok=True)
     tr.opt.save_path = opt.save_path
     frames, traj_imgs, _, _ = test_cpts(tr, test_stage=opt.test_stage,
@@ -421,7 +462,8 @@ def _finetune_cpt_only(tr, images, masks, iters, trainable):
 
 
 def run_test_unaligned_motion(tr, motion_images, motion_masks,
-                              iters_a: int = 400, iters_b: int = 1000):
+                              iters_a: int = 400, iters_b: int = 1000,
+                              lpips_fn=None, log_fn=None):
     """Two-phase finetune for unaligned motions
     (`main_test_dimo.py:1012-1320`): phase A fits latent+deformnet on the
     control-point-only renderer, phase B refines them jointly on the full
@@ -434,7 +476,7 @@ def run_test_unaligned_motion(tr, motion_images, motion_masks,
                        trainable=groups)
     metrics = finetune_latent_to_motion(
         tr, motion_images, motion_masks, iters_b, trainable=groups,
-        fresh_latent=False)
+        fresh_latent=False, lpips_fn=lpips_fn, log_fn=log_fn)
     seq = render_sequence(tr, 0, opt.test_stage, "fixed")
     os.makedirs(opt.video_save_dir, exist_ok=True)
     viz.write_video(os.path.join(opt.video_save_dir,

@@ -46,14 +46,37 @@ def main() -> None:
             folder, info["input_videos"][:1], num_views, num_frames, s)
         return imgs[0], msks[0]
 
+    # perceptual loss for the finetuning modes (reference applies LPIPS at
+    # test-time finetune steps, `main_test_dimo.py:979,1160,1284`) + the
+    # PSNR/SSIM/LPIPS TensorBoard scalars of the reference (`:972-990`)
+    from dimo_tpu.models.lpips import get_lpips
+    lpips_fn = get_lpips(opt.get("lpips_weights") or "weights/lpips_vgg.npz",
+                         fallback=str(opt.get("lpips_fallback", "random")))
+    log_fn = None
+    if opt.save_path:
+        try:
+            import os
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(log_dir=os.path.join(str(opt.save_path),
+                                                    "tb_test"))
+
+            def log_fn(it, metrics):
+                for k in ("loss", "psnr", "ssim_loss", "lpips", "mse",
+                          "mask_loss"):
+                    tb.add_scalar(f"finetune/{k}", float(metrics[k]), it)
+        except ImportError:
+            pass
+
     if opt.get("test_fps"):
         test_modes.run_test_fps(tr)
     elif opt.test_motion:
         imgs, msks = load_motion_data(opt.test_motion_data)
-        test_modes.run_test_motion(tr, imgs, msks)
+        test_modes.run_test_motion(tr, imgs, msks, lpips_fn=lpips_fn,
+                                   log_fn=log_fn)
     elif opt.test_unaligned_motion:
         imgs, msks = load_motion_data(opt.test_unaligned_motion_data)
-        test_modes.run_test_unaligned_motion(tr, imgs, msks)
+        test_modes.run_test_unaligned_motion(tr, imgs, msks,
+                                             lpips_fn=lpips_fn, log_fn=log_fn)
     elif opt.test_language:
         text_emb = None
         if opt.get("test_text_emb"):

@@ -102,10 +102,12 @@ def main() -> None:
 
     trainer = Trainer(opt, images, masks, meta, log_fn=log_fn)
 
-    lpips_fn = None
-    if opt.get("lpips_weights"):
-        from dimo_tpu.models.lpips import load_lpips
-        lpips_fn = load_lpips(opt.lpips_weights)
+    # LPIPS active by default (reference applies it at λ=1000 every step,
+    # `main_train_dimo.py:150,340`): converted weights if present, else the
+    # deterministic random-VGG fallback; lpips_fallback=off disables.
+    from dimo_tpu.models.lpips import get_lpips
+    lpips_fn = get_lpips(opt.get("lpips_weights") or "weights/lpips_vgg.npz",
+                         fallback=str(opt.get("lpips_fallback", "random")))
 
     if opt.save_path_new:
         opt.save_path = opt.save_path_new

@@ -54,6 +54,37 @@ class TestLPIPS:
     def test_missing_weights_disabled(self):
         assert lpips_mod.load_lpips("/nonexistent/w.npz") is None
 
+    def test_get_lpips_fallback_and_off(self):
+        fn = lpips_mod.get_lpips("/nonexistent/w.npz", fallback="random")
+        assert fn is not None
+        assert lpips_mod.get_lpips("/nonexistent/w.npz", fallback="off") is None
+
+    def test_fallback_deterministic_across_instances(self):
+        a = lpips_mod.seeded_lpips_params(0)
+        b = lpips_mod.seeded_lpips_params(0)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_fallback_perceptual_monotonic_under_noise(self):
+        """Distance grows with perturbation magnitude — the property the
+        λ=1000 term needs to act as a usable loss."""
+        fn = lpips_mod.random_init_lpips(0)
+        rng = np.random.RandomState(5)
+        base = rng.rand(1, 3, 64, 64).astype(np.float32)
+        noise = rng.randn(1, 3, 64, 64).astype(np.float32)
+        ds = [float(fn(jnp.asarray(base),
+                       jnp.asarray(np.clip(base + s * noise, 0, 1)))[0])
+              for s in (0.05, 0.15, 0.4)]
+        assert ds[0] < ds[1] < ds[2]
+
+    def test_fallback_symmetric(self):
+        fn = lpips_mod.random_init_lpips(0)
+        rng = np.random.RandomState(6)
+        a = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+        b = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
+        np.testing.assert_allclose(float(fn(a, b)[0]), float(fn(b, a)[0]),
+                                   rtol=1e-4)
+
 
 class TestTextProjector:
     def test_random_fallback_projector(self):
