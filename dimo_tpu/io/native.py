@@ -108,7 +108,8 @@ class BatchPacker:
     consuming step k to overlap host packing with device compute.
     """
 
-    def __init__(self, images: np.ndarray, masks: np.ndarray, batch: int):
+    def __init__(self, images: np.ndarray, masks: np.ndarray, batch: int,
+                 slots: int = 2):
         lib = _find_lib()
         if lib is None:
             raise RuntimeError("native library not built")
@@ -117,26 +118,39 @@ class BatchPacker:
         self.masks = np.ascontiguousarray(masks)
         self.img_bytes = int(np.prod(self.images.shape[1:]))
         self.mask_bytes = int(np.prod(self.masks.shape[1:]))
-        self.out_img = np.empty((batch,) + self.images.shape[1:], np.uint8)
-        self.out_mask = np.empty((batch,) + self.masks.shape[1:], np.uint8)
+        # double-buffered out slots: the worker packs batch k+1 into slot
+        # (k+1) % slots while slot k % slots is being uploaded to the device
+        self._slots = slots
+        self.out_imgs = [np.empty((batch,) + self.images.shape[1:], np.uint8)
+                         for _ in range(slots)]
+        self.out_masks = [np.empty((batch,) + self.masks.shape[1:], np.uint8)
+                          for _ in range(slots)]
+        self._submits = 0
+        self._gets = 0
+        self._idx_keepalive = [None] * slots
         self._h = lib.packer_create(
             self.images.ctypes.data_as(ctypes.c_void_p),
             self.masks.ctypes.data_as(ctypes.c_void_p),
             self.img_bytes, self.mask_bytes)
 
     def submit(self, flat_indices: np.ndarray) -> None:
+        slot = self._submits % self._slots
         idx = np.ascontiguousarray(flat_indices, dtype=np.int64)
-        assert idx.shape[0] == self.out_img.shape[0]
-        self._idx_keepalive = idx
-        self._lib.packer_submit(self._h,
-                                idx.ctypes.data_as(ctypes.c_void_p),
-                                idx.shape[0],
-                                self.out_img.ctypes.data_as(ctypes.c_void_p),
-                                self.out_mask.ctypes.data_as(ctypes.c_void_p))
+        assert idx.shape[0] == self.out_imgs[slot].shape[0]
+        self._idx_keepalive[slot] = idx
+        self._lib.packer_submit(
+            self._h, idx.ctypes.data_as(ctypes.c_void_p), idx.shape[0],
+            self.out_imgs[slot].ctypes.data_as(ctypes.c_void_p),
+            self.out_masks[slot].ctypes.data_as(ctypes.c_void_p))
+        self._submits += 1
 
     def get(self) -> tuple[np.ndarray, np.ndarray]:
+        """Blocks until all submitted jobs finish; returns the oldest
+        un-consumed slot's buffers."""
         self._lib.packer_wait(self._h)
-        return self.out_img, self.out_mask
+        slot = self._gets % self._slots
+        self._gets += 1
+        return self.out_imgs[slot], self.out_masks[slot]
 
     def close(self) -> None:
         if self._h:

@@ -46,6 +46,9 @@ def loss_config_from_opt(opt, stage: str) -> LossConfig:
         normal_reg_start_iter=opt.normal_reg_start_iter,
         arap_start_iter_s1=opt.arap_start_iter_s1,
         arap_end_iter_s2=opt.arap_end_iter_s2,
+        fps_iter=int(opt.FPS_iter),
+        density_start_iter=int(opt.density_start_iter),
+        density_end_iter=int(opt.density_end_iter),
         position_lr_init=pos_init, position_lr_final=pos_final,
         position_lr_max_steps=pos_max,
         c_position_lr_init=opt.c_position_lr_init,
@@ -97,6 +100,27 @@ class Trainer:
         self.cpts_s1 = None            # (M, F, Mc, 3) cached guidance
         self._step_fns = {}
         self._densify_fns = {}
+        self._pending_meta = None      # prefetched batch meta (packer path)
+        self._packer = None
+        self._packer_b = None
+        self._packer_pending = None
+        self.tile_capacity = int(opt.get("tile_capacity", 1024))
+        self._overflow_strikes = 0
+
+        # data-parallel mesh (SURVEY section 2.3 obligation): batch sharded
+        # over a "data" axis, params replicated, grad psum inserted by XLA.
+        # data_parallel=N is a pure flag change — the step function is
+        # unchanged, only placements differ.
+        self.mesh = None
+        dp = int(opt.get("data_parallel", 1) or 1)
+        if dp > 1:
+            from dimo_tpu.parallel import mesh as mesh_mod
+            n_dev = len(jax.devices())
+            if n_dev < dp:
+                raise ValueError(
+                    f"data_parallel={dp} but only {n_dev} devices visible")
+            self._mesh_mod = mesh_mod
+            self.mesh = mesh_mod.make_mesh(dp)
 
         cap_s1 = int(opt.get("capacity_s1", 8192))
         self.mcfg = G.ModelConfig(
@@ -112,6 +136,11 @@ class Trainer:
             opt=optim.init(optim.strongify(params)),
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.PRNGKey(self.seed))
+        self._replicate_state()
+
+    def _replicate_state(self):
+        if self.mesh is not None:
+            self.state = self._mesh_mod.replicate(self.state, self.mesh)
 
     # ------------------------------------------------------------------
     # batching
@@ -121,17 +150,17 @@ class Trainer:
         return cameras.Camera.from_c2w(pose, self.fovx, self.fovy,
                                        self.cam_near, self.cam_far)
 
-    def sample_batch(self):
-        """Reference sampling (`main_train_dimo.py:266-270`): batch_size
-        frames x batch_size views x min(2*batch_size, M) motions."""
+    def _sample_meta(self):
+        """Draw one batch's (motion, view, frame) tuples + host-cheap fields
+        (reference sampling, `main_train_dimo.py:266-270`: batch_size frames
+        x batch_size views x min(2*batch_size, M) motions)."""
         bs = int(self.opt.batch_size)
         frames = self.py_rng.sample(range(self.num_frames), min(bs, self.num_frames))
         views = self.py_rng.sample(range(self.num_views), min(bs, self.num_views))
         n_sel = min(2 * bs, self.num_motions)
         motions = np.random.choice(self.num_motions, n_sel, replace=False)
 
-        cams, times, lat_idx, mse_w = [], [], [], []
-        gt_img, gt_msk, guidance = [], [], []
+        cams, times, lat_idx, mse_w, mvf = [], [], [], [], []
         for m in motions:
             for v in views:
                 for f in frames:
@@ -139,41 +168,116 @@ class Trainer:
                     times.append(f / self.num_frames)
                     lat_idx.append(m)
                     mse_w.append(1.0 if (v == 0 or f == 0) else 0.5)
-                    gt_img.append(self.images[m, v, f])
-                    gt_msk.append(self.masks[m, v, f])
-                    if self.cpts_s1 is not None:
-                        guidance.append(self.cpts_s1[m, f])
+                    mvf.append((m, v, f))
+        mvf = np.asarray(mvf, np.int64)
+        flat = (mvf[:, 0] * self.num_views + mvf[:, 1]) * self.num_frames \
+            + mvf[:, 2]
+        return {
+            "cams": cams, "times": times, "lat_idx": lat_idx, "mse_w": mse_w,
+            "mvf": mvf, "flat": flat,
+            "shape": (n_sel, len(views), len(frames)),
+        }
+
+    def _get_packer(self, batch_size: int):
+        """Native double-buffered frame packer, or None (numpy fallback)."""
+        if getattr(self, "_packer_b", None) == batch_size:
+            return self._packer
+        from dimo_tpu.io import native as native_io
+        try:
+            flat_imgs = self.images.reshape((-1,) + self.images.shape[3:])
+            flat_msks = self.masks.reshape((-1,) + self.masks.shape[3:])
+            self._packer = native_io.BatchPacker(flat_imgs, flat_msks,
+                                                 batch_size, slots=2)
+        except Exception:
+            self._packer = None
+        self._packer_b = batch_size
+        self._packer_pending = None
+        return self._packer
+
+    def sample_batch(self):
+        """Assemble one device batch. Frame gathering goes through the native
+        async BatchPacker when built (submit step k+1 while the device runs
+        step k); otherwise one numpy fancy-index gather — never a Python
+        per-frame copy loop."""
+        meta = self._pending_meta or self._sample_meta()
+        self._pending_meta = None
+        b = len(meta["times"])
+        packer = self._get_packer(b)
+
+        if packer is not None:
+            if self._packer_pending is None:        # first use: pack this one
+                packer.submit(meta["flat"])
+            gt_i, gt_m = packer.get()
+            # prefetch the NEXT batch onto the worker thread before the
+            # device sees this one (double-buffered slots: safe to overwrite
+            # the other slot while this one uploads)
+            self._pending_meta = self._sample_meta()
+            if len(self._pending_meta["times"]) == b:
+                packer.submit(self._pending_meta["flat"])
+                self._packer_pending = True
+            else:
+                self._packer_pending = None
+        else:
+            flat_imgs = self.images.reshape((-1,) + self.images.shape[3:])
+            flat_msks = self.masks.reshape((-1,) + self.masks.shape[3:])
+            gt_i = flat_imgs[meta["flat"]]
+            gt_m = flat_msks[meta["flat"]]
 
         batch = {
-            "camera": cameras.stack_cameras(cams),
-            "times": jnp.asarray(times, jnp.float32),
-            "latent_idx": jnp.asarray(lat_idx, jnp.int32),
-            "mse_w": jnp.asarray(mse_w, jnp.float32),
-            "gt_image": jnp.asarray(np.stack(gt_img)),
-            "gt_mask": jnp.asarray(np.stack(gt_msk)),
+            "camera": cameras.stack_cameras(meta["cams"]),
+            "times": jnp.asarray(meta["times"], jnp.float32),
+            "latent_idx": jnp.asarray(meta["lat_idx"], jnp.int32),
+            "mse_w": jnp.asarray(meta["mse_w"], jnp.float32),
+            "gt_image": jnp.asarray(gt_i),
+            "gt_mask": jnp.asarray(gt_m),
         }
         if self.cpts_s1 is not None:
-            batch["guidance"] = jnp.asarray(np.stack(guidance))
+            batch["guidance"] = jnp.asarray(
+                self.cpts_s1[meta["mvf"][:, 0], meta["mvf"][:, 2]])
         else:
             mc = self.state.params.c_xyz.shape[0]
-            batch["guidance"] = jnp.zeros((len(times), mc, 3))
-        return batch, (n_sel, len(views), len(frames))
+            batch["guidance"] = jnp.zeros((b, mc, 3))
+        return batch, meta["shape"]
 
     # ------------------------------------------------------------------
     # step functions (cached per (stage, resolution, batch shape))
 
     def get_step_fn(self, stage, res, shape, lpips_fn=None):
-        key = (stage, res, shape)
+        key = (stage, res, shape, self.tile_capacity)
         if key not in self._step_fns:
             lcfg = loss_config_from_opt(self.opt, stage)
             n_motions, n_views, n_frames = shape
             self._step_fns[key] = make_train_step(
                 self.mcfg, lcfg, stage, res, res,
                 n_motions, n_views, n_frames,
-                capacity=int(self.opt.get("tile_capacity", 1024)),
+                capacity=self.tile_capacity,
                 lpips_fn=lpips_fn,
                 use_guidance=(stage >= "s2"))
         return self._step_fns[key]
+
+    def _check_overflow(self, metrics):
+        """Adaptive tile-capacity escalation: the CUDA binning has no
+        capacity cliff (`renderer/latent_gs_renderer.py:1268`); ours reports
+        dropped entries, and persistent heavy overflow doubles the capacity
+        (one re-jit) instead of silently truncating for the rest of the run.
+        Checked every 10 steps to avoid a per-step host sync."""
+        if self.step % 10 != 0:
+            return
+        cap_max = int(self.opt.get("tile_capacity_max", 4096))
+        if self.tile_capacity >= cap_max:
+            return
+        ov = float(metrics["overflow"])
+        b = self._last_b
+        # dropping > 25% of one tile's capacity per render, sustained
+        if ov / b > 0.25 * self.tile_capacity:
+            self._overflow_strikes += 1
+        else:
+            self._overflow_strikes = 0
+        if self._overflow_strikes >= 3:
+            self.tile_capacity = min(self.tile_capacity * 2, cap_max)
+            self._overflow_strikes = 0
+            print(f"[capacity] tile overflow sustained; tile_capacity -> "
+                  f"{self.tile_capacity}")
 
     # ------------------------------------------------------------------
     # training
@@ -204,8 +308,19 @@ class Trainer:
         self.step += 1
         res = render_resolution_for_step(self.step)
         batch, shape = self.sample_batch()
+        if self.mesh is not None:
+            b = int(batch["times"].shape[0])
+            dp = self.mesh.devices.size
+            if b % dp != 0:
+                raise ValueError(
+                    f"batch of {b} render jobs not divisible by "
+                    f"data_parallel={dp}; adjust batch_size/num_views/"
+                    "num_frames so motions*views*frames % devices == 0")
+            batch = self._mesh_mod.shard_batch(batch, self.mesh)
         step_fn = self.get_step_fn(self.stage, res, shape, lpips_fn)
+        self._last_b = max(1, int(batch["times"].shape[0]))
         self.state, metrics = step_fn(self.state, batch)
+        self._check_overflow(metrics)
         try:
             self.log_fn(self.stage, self.step, metrics, trainer=self)
         except TypeError:
@@ -336,6 +451,7 @@ class Trainer:
                                      "capacity": new_cap})
         self.state = TrainState(params=params, aux=aux, opt=opt_state,
                                 step=s.step, rng=s.rng)
+        self._replicate_state()
         self._step_fns.clear()
         self._densify_fns.clear()
 
@@ -406,6 +522,7 @@ class Trainer:
             params=optim.strongify(params2), aux=aux2,
             opt=optim.init(optim.strongify(params2)),
             step=jnp.zeros((), jnp.int32), rng=s.rng)
+        self._replicate_state()
         self.stage = "s2"
         self.step = 0
         self._step_fns.clear()
@@ -414,22 +531,29 @@ class Trainer:
 
     def cache_s1_trajectories(self):
         """Cache per-motion control point trajectories for guidance
-        (reference `main_train_dimo.py:231-244`)."""
-        p = self.state.params
-        mc = p.c_xyz.shape[0]
+        (reference `main_train_dimo.py:231-244`): ONE vmapped call over
+        (motion, frame) instead of M*F separate dispatches (1,071 at
+        Trump-n51 scale). VAE latents are SAMPLED via reparameterization
+        like the reference (`:234-238`), not collapsed to the mean."""
         F = self.num_frames
+        ts = jnp.arange(F, dtype=jnp.float32) / F
+        m_idx = jnp.arange(self.num_motions, dtype=jnp.int32)
+        rng = jax.random.PRNGKey(self.seed + 7)
+        m_rngs = (jax.random.split(rng, self.num_motions)
+                  if self.mcfg.vae else None)
 
         @jax.jit
-        def traj(latent_codes_idx, t):
-            lat = G.sample_latent(p, latent_codes_idx, None)
-            d, _ = timenet_mod.apply_timenet(p.timenet, p.c_xyz, t, lat)
-            return p.c_xyz + d
+        def traj_all(p):
+            def per_motion(m, krng):
+                lat = G.sample_latent(p, m, krng)
+                d, _ = jax.vmap(lambda t: timenet_mod.apply_timenet(
+                    p.timenet, p.c_xyz, t, lat))(ts)        # (F, Mc, 3)
+                return p.c_xyz[None] + d
+            if self.mcfg.vae:
+                return jax.vmap(per_motion)(m_idx, m_rngs)
+            return jax.vmap(lambda m: per_motion(m, None))(m_idx)
 
-        out = np.zeros((self.num_motions, F, mc, 3), np.float32)
-        for m in range(self.num_motions):
-            for f in range(F):
-                out[m, f] = np.asarray(traj(m, f / F))
-        self.cpts_s1 = out
+        self.cpts_s1 = np.asarray(traj_all(self.state.params))
 
     def finish_s2(self):
         self.save_checkpoint("s2")
@@ -534,6 +658,7 @@ class Trainer:
             params=optim.strongify(params), aux=aux,
             opt=optim.init(optim.strongify(params)),
             step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(self.seed))
+        self._replicate_state()
         self._step_fns.clear()
         self._densify_fns.clear()
 

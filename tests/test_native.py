@@ -67,3 +67,47 @@ class TestBatchPacker:
         img, msk = p.get()
         np.testing.assert_array_equal(img, images[idx2])
         p.close()
+
+    def test_double_buffered_prefetch(self):
+        """submit(k+1) before get(k)'s buffers are consumed: slots must not
+        alias (the Trainer's pipelined usage)."""
+        rng = np.random.RandomState(3)
+        images = rng.randint(0, 255, (30, 4, 4, 3), dtype=np.uint8)
+        masks = rng.randint(0, 255, (30, 4, 4), dtype=np.uint8)
+        p = native.BatchPacker(images, masks, batch=3, slots=2)
+        a = np.array([5, 6, 7], np.int64)
+        b = np.array([20, 1, 2], np.int64)
+        c = np.array([9, 9, 0], np.int64)
+        p.submit(a)
+        img_a, msk_a = p.get()
+        p.submit(b)                      # packs into the OTHER slot
+        np.testing.assert_array_equal(img_a, images[a])  # slot a intact
+        img_b, _ = p.get()
+        p.submit(c)
+        np.testing.assert_array_equal(img_b, images[b])
+        img_c, msk_c = p.get()
+        np.testing.assert_array_equal(img_c, images[c])
+        np.testing.assert_array_equal(msk_c, masks[c])
+        p.close()
+
+    def test_trainer_uses_packer(self):
+        """The product sample_batch routes frame gathering through the
+        packer and prefetches the next batch."""
+        from dimo_tpu.io.synthetic import make_synthetic_videos
+        from dimo_tpu.train.loop import Trainer
+        from dimo_tpu.presets import tiny_synthetic_opt as tiny_opt
+        images, masks, meta = make_synthetic_videos(
+            num_motions=2, num_views=3, num_frames=5, ref_size=32,
+            n_gauss=20, seed=0)
+        tr = Trainer(tiny_opt(), images, masks, meta)
+        batch, shape = tr.sample_batch()
+        assert tr._packer is not None
+        assert tr._pending_meta is not None   # prefetch submitted
+        b = int(batch["times"].shape[0])
+        # gt rows must match the sampled (m, v, f) tuples
+        flat_imgs = images.reshape((-1,) + images.shape[3:])
+        # consume the prefetched batch too and check correctness
+        meta2 = tr._pending_meta
+        batch2, _ = tr.sample_batch()
+        np.testing.assert_array_equal(np.asarray(batch2["gt_image"]),
+                                      flat_imgs[meta2["flat"]])

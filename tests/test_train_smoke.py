@@ -55,6 +55,60 @@ class TestStage1:
             tr.train_step_once()
         assert min(vals[-4:]) < vals[0], vals
 
+    def test_adaptive_tile_capacity_escalation(self, synthetic_data):
+        """Sustained heavy overflow doubles tile_capacity (bounded by
+        tile_capacity_max); transient overflow does not."""
+        images, masks, meta = synthetic_data
+        tr = Trainer(tiny_opt(), images, masks, meta)
+        cap0 = tr.tile_capacity
+        tr._last_b = 4
+        heavy = {"overflow": 4 * cap0}      # > 25% of capacity per render
+        light = {"overflow": 0.0}
+        # transient: two strikes then calm -> no escalation
+        tr.step = 10; tr._check_overflow(heavy)
+        tr.step = 20; tr._check_overflow(heavy)
+        tr.step = 30; tr._check_overflow(light)
+        assert tr.tile_capacity == cap0
+        # sustained: three consecutive checks -> double
+        for s in (40, 50, 60):
+            tr.step = s
+            tr._check_overflow(heavy)
+        assert tr.tile_capacity == cap0 * 2
+        # off-cadence steps don't count
+        tr.step = 61
+        tr._check_overflow(heavy)
+        assert tr.tile_capacity == cap0 * 2
+
+    def test_densify_stats_window_gating(self, synthetic_data):
+        """Stats accumulate ONLY inside the reference's densify window
+        (`main_train_dimo.py:427`: step % FPS_iter >= density_start_iter and
+        step <= density_end_iter)."""
+        import jax.numpy as jnp
+        images, masks, meta = synthetic_data
+        opt = tiny_opt()
+        opt["density_start_iter"] = 3
+        opt["density_end_iter"] = 5
+        opt["densification_interval"] = 1000   # never densify, just stats
+        opt["FPS_iter"] = 1000
+        tr = Trainer(opt, images, masks, meta)
+        tr.prepare_train_s1()
+        # steps 1-2: outside the window -> stats stay zero
+        tr.train_step_once()
+        tr.train_step_once()
+        assert float(jnp.sum(tr.state.aux.denom)) == 0.0
+        assert float(jnp.sum(tr.state.aux.max_radii2d)) == 0.0
+        # steps 3-5: inside -> stats accumulate
+        tr.train_step_once()
+        assert float(jnp.sum(tr.state.aux.denom)) > 0.0
+        d3 = float(jnp.sum(tr.state.aux.denom))
+        # step 6: past density_end_iter -> frozen again
+        tr.train_step_once()  # step 4 (inside)
+        tr.train_step_once()  # step 5 (inside)
+        d5 = float(jnp.sum(tr.state.aux.denom))
+        assert d5 > d3
+        tr.train_step_once()  # step 6 (outside)
+        assert float(jnp.sum(tr.state.aux.denom)) == d5
+
 
 class TestStageTransition:
     def test_s1_to_s2(self, trained_s1):
