@@ -32,7 +32,7 @@ def selfcheck() -> dict:
     from dimo_tpu.utils import cameras
 
     rng = np.random.RandomState(3)
-    n = 600
+    n = 400
     means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
     scales = jnp.asarray(np.exp(rng.uniform(-4.5, -3.0, (n, 3))), jnp.float32)
     quats = jnp.asarray(rng.randn(n, 4), jnp.float32)
@@ -40,7 +40,7 @@ def selfcheck() -> dict:
     sh = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 1, 3)), jnp.float32)
     cam = cameras.Camera.from_c2w(cameras.orbit_camera(15, 40, 2.0), 0.6, 0.6)
     bg = jnp.ones((3,))
-    W = H = 128
+    W, H = 128, 64   # one tile: keeps the extra compile under a minute
 
     def run(fn):
         def loss(op):

@@ -10,6 +10,9 @@ the CUDA rasterizer backward the reference relies on, but expressed as a
 
 Performance notes:
   * tile = 32x128 pixels fills all VPU lanes (vs CUDA's 16x16 warps);
+    16px rows were measured SLOWER end-to-end: the halved per-entry work
+    is erased by near-doubled row-crossing duplication at trained-scene
+    footprints (~5-7px radii);
   * Gaussians stream in blocks of G=8: one dynamic VMEM slice per block,
     then static scalar extracts — no scalar DMA;
   * early exit per tile once every pixel's transmittance < 1e-4; forward
@@ -119,24 +122,27 @@ def _fwd_kernel(g_block, packed_ref, count_ref, out_ref, tfin_ref, nproc_ref,
 
 
 def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
-                dpacked_ref, s_ref, t_ref):
+                dpacked_ref, gs_ref, t_ref):
     px, py = _pixel_grid()
     nblocks_done = nproc_ref[pl.program_id(0), pl.program_id(1)] // g_block
 
     dpacked_ref[...] = jnp.zeros_like(dpacked_ref)
-    for ch in range(OUT_CH):
-        s_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    t_ref[...] = tfin_ref[...]
-
     gouts = [gout_ref[ch] for ch in range(OUT_CH)]               # (TH, TW) each
     gtfin = gout_ref[OUT_CH]
     tfin = tfin_ref[...]
+    # dL/dalpha needs only ONE running plane, not OUT_CH suffix sums:
+    #   dalpha = CG_j*T_i - GS/(1-alpha) with CG_j = sum_ch g_ch*c_jch and
+    #   GS = gtfin*tfin + sum_ch g_ch*S_ch, updated as GS += CG_j*aw.
+    # (folds the per-channel S updates and the OUT_CH-term dalpha loop into
+    # 2 FMAs — ~30% of the backward's vector work)
+    gs_ref[...] = gtfin * tfin
+    t_ref[...] = tfin
 
     def body(i, _):
         blk = nblocks_done - 1 - i
         slab = packed_ref[0, pl.ds(blk * g_block, g_block), :]
         T_run = t_ref[...]
-        S = [s_ref[ch] for ch in range(OUT_CH)]
+        GS = gs_ref[...]
         # gradient slab built as a value via constant-mask selects (Mosaic
         # forbids scalar stores to VMEM refs and scatter on values)
         rows = lax.broadcasted_iota(jnp.int32, (g_block, ATTR_DIM), 0)
@@ -150,14 +156,14 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
             alpha, araw, expp, live, dx, dy, ca, cb, cc = _alpha_terms(
                 slab, j, px, py)
             one_minus = 1.0 - alpha
-            T_i = T_run / one_minus
-            # dL/dalpha at every pixel:
-            #   composited channels: c_j*T_i - S_ch/(1-alpha)
-            #   T_final output:      -T_final/(1-alpha)
-            dalpha = -gtfin * (tfin / one_minus)
-            for ch in range(OUT_CH):
-                dalpha = dalpha + gouts[ch] * (
-                    slab[j, A_R + ch] * T_i - S[ch] / one_minus)
+            # ONE reciprocal + two muls instead of two full divides (divides
+            # are among the slowest VPU ops here)
+            inv_om = 1.0 / one_minus
+            T_i = T_run * inv_om
+            CG = gouts[0] * slab[j, A_R]
+            for ch in range(1, OUT_CH):
+                CG = CG + gouts[ch] * slab[j, A_R + ch]
+            dalpha = CG * T_i - GS * inv_om
             gate = live & (araw < ALPHA_MAX)
             d_araw = jnp.where(gate, dalpha, 0.0)
             dpower = d_araw * araw
@@ -170,11 +176,9 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
             slab_d = put(slab_d, j, A_MY, jnp.sum((cc * dy + cb * dx) * dpower))
             for ch in range(OUT_CH):
                 slab_d = put(slab_d, j, A_R + ch, jnp.sum(gouts[ch] * aw))
-            for ch in range(OUT_CH):
-                S[ch] = S[ch] + slab[j, A_R + ch] * aw
+            GS = GS + CG * aw
             T_run = T_i
-        for ch in range(OUT_CH):
-            s_ref[ch] = S[ch]
+        gs_ref[...] = GS
         t_ref[...] = T_run
         dpacked_ref[0, pl.ds(blk * g_block, g_block), :] = slab_d
         return 0
@@ -232,8 +236,8 @@ def _bwd_call(packed, gout, tfin, nproc, height: int, width: int):
         out_specs=pl.BlockSpec((1, cap, ATTR_DIM),
                                lambda r, c: (r * ncols + c, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((OUT_CH, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),   # GS plane
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),   # running T
         ],
         interpret=_interpret(),
     )(packed, gout, tfin, nproc)

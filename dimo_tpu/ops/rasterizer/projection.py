@@ -46,13 +46,27 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray,
 def camera_facing_normal(scales: jnp.ndarray, quats: jnp.ndarray,
                          means3d: jnp.ndarray, campos: jnp.ndarray) -> jnp.ndarray:
     """Normal = rotation column of the smallest scale axis, flipped toward the
-    camera (parity with GaussianModel.get_normal, `latent_gs_renderer.py:388-401`)."""
-    R = quat_ops.to_matrix(quats)                      # (N, 3, 3)
+    camera (parity with GaussianModel.get_normal, `latent_gs_renderer.py:388-401`).
+
+    Flat (N,) component math — no (N,3,3) materialization (see project)."""
+    q = quat_ops.normalize(quats)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    cols = (
+        (1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy + qw * qz),
+         2 * (qx * qz - qw * qy)),
+        (2 * (qx * qy - qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz + qw * qx)),
+        (2 * (qx * qz + qw * qy), 2 * (qy * qz - qw * qx),
+         1 - 2 * (qx * qx + qy * qy)),
+    )
     idx = jnp.argmin(scales, axis=-1)                  # (N,)
-    n = jnp.take_along_axis(R, idx[:, None, None], axis=2)[..., 0]  # (N, 3)
+    n = [jnp.where(idx == 0, cols[0][i],
+                   jnp.where(idx == 1, cols[1][i], cols[2][i]))
+         for i in range(3)]
     to_cam = campos[None, :] - means3d
-    sign = jnp.where(jnp.sum(n * to_cam, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)
-    return n * sign
+    dot = n[0] * to_cam[:, 0] + n[1] * to_cam[:, 1] + n[2] * to_cam[:, 2]
+    sign = jnp.where(dot < 0.0, -1.0, 1.0)
+    return jnp.stack([n[0] * sign, n[1] * sign, n[2] * sign], axis=-1)
 
 
 def project(
@@ -107,24 +121,41 @@ def project(
     tx = txz * tz_safe
     ty = tyz * tz_safe
 
-    # Closed-form 2D covariance: cov2d = (J W M)(J W M)^T where M = R*s.
-    # Avoids materializing cov3d/cov_view (several (N,3,3) round-trips to
-    # HBM): one rotation product and two 3-vector contractions instead.
-    Rm = quat_ops.to_matrix(quats)                           # (N, 3, 3)
+    # Closed-form 2D covariance: cov2d = (J W M)(J W M)^T where M = R*s,
+    # computed entirely in FLAT (N,) component arrays — (N,3,3) einsum
+    # chains put the size-3 axes in the minor dims, a pathological TPU lane
+    # layout (the same lesson as the sort-key build in tiles.py).
+    q = quat_ops.normalize(quats)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    R_comp = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
     Rv = world_view[:3, :3].T                                # view rotation
-    WR = jnp.einsum("ij,njk->nik", Rv, Rm)                   # (N, 3, 3)
-    A = WR * (scales * scale_modifier)[:, None, :]           # (N, 3, 3) = W R diag(s)
+    # WR[i][k] = sum_j Rv[i,j] * R[j][k]  (scalar consts x (N,) arrays)
+    WR = [[sum(Rv[i, j] * R_comp[j][k] for j in range(3)) for k in range(3)]
+          for i in range(3)]
+    s = scales * scale_modifier
+    s0, s1, s2 = s[:, 0], s[:, 1], s[:, 2]
+    sc = (s0, s1, s2)
+    A = [[WR[i][k] * sc[k] for k in range(3)] for i in range(3)]
 
     j00 = focal_x / tz_safe
     j02 = -(focal_x * tx) / (tz_safe * tz_safe)
     j11 = focal_y / tz_safe
     j12 = -(focal_y * ty) / (tz_safe * tz_safe)
-    # B = J A, rows B0 = j00*A0 + j02*A2, B1 = j11*A1 + j12*A2  (N, 3) each
-    B0 = j00[:, None] * A[:, 0, :] + j02[:, None] * A[:, 2, :]
-    B1 = j11[:, None] * A[:, 1, :] + j12[:, None] * A[:, 2, :]
-    a = jnp.sum(B0 * B0, axis=-1) + 0.3
-    b = jnp.sum(B0 * B1, axis=-1)
-    c = jnp.sum(B1 * B1, axis=-1) + 0.3
+    # B = J A, rows B0 = j00*A0 + j02*A2, B1 = j11*A1 + j12*A2
+    B0 = [j00 * A[0][k] + j02 * A[2][k] for k in range(3)]
+    B1 = [j11 * A[1][k] + j12 * A[2][k] for k in range(3)]
+    a = B0[0] * B0[0] + B0[1] * B0[1] + B0[2] * B0[2] + 0.3
+    b = B0[0] * B1[0] + B0[1] * B1[1] + B0[2] * B1[2]
+    c = B1[0] * B1[0] + B1[1] * B1[1] + B1[2] * B1[2] + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0.0, det, 1.0)

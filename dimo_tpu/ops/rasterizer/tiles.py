@@ -32,13 +32,15 @@ TILE_W = 128
 # duplication footprint for the fast path (bbox <= KR x KC tiles).
 # 2x2 covers every gaussian with screen radius < ~32px (one tile-boundary
 # crossing in each axis) — the overwhelming majority in trained scenes;
-# larger ones ride the top_k big path.
+# larger ones ride the top_k big path. (16px rows were measured SLOWER:
+# trained-scene radii of ~5-7px cross 16px row boundaries so often that
+# total duplicated entries nearly double, erasing the per-entry win.)
 DUP_KR = 2
 DUP_KC = 2
 
 # depth quantization bits in the sort key (tile id occupies the high bits;
-# tile < 256 covers images up to 1024x1024 with 32x128 tiles)
-DEPTH_BITS = 23
+# tile < 512 covers images up to 2048x1024 with 32x128 tiles)
+DEPTH_BITS = 22
 DEPTH_MAX = (1 << DEPTH_BITS) - 1
 
 # Packed attribute channel layout (lane-padded to 16)
@@ -83,7 +85,7 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     n = depth.shape[0]
     nrows, ncols = num_tiles(height, width)
     t = nrows * ncols
-    assert t < 256, (t, "tile-id field in the int32 sort key supports <256 tiles")
+    assert t < 512, (t, "tile-id field in the int32 sort key supports <512 tiles")
 
     cmin = jnp.floor((mean2d[:, 0] - radius) / TILE_W).astype(jnp.int32)
     cmax = jnp.floor((mean2d[:, 0] + radius) / TILE_W).astype(jnp.int32)
@@ -103,19 +105,23 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     small = alive & (cmax - cmin < DUP_KC) & (rmax - rmin < DUP_KR)
     big = alive & ~small
 
-    # --- small path: bounded duplication + ONE global key/value sort
-    dup_r = rmin[:, None] + jnp.arange(DUP_KR, dtype=jnp.int32)[None]   # (N,KR)
-    dup_c = cmin[:, None] + jnp.arange(DUP_KC, dtype=jnp.int32)[None]   # (N,KC)
-    tile_id = dup_r[:, :, None] * ncols + dup_c[:, None, :]             # (N,KR,KC)
-    dup_ok = (small[:, None, None]
-              & (dup_r[:, :, None] <= rmax[:, None, None])
-              & (dup_c[:, None, :] <= cmax[:, None, None])
-              & (dup_r[:, :, None] < nrows) & (dup_c[:, None, :] < ncols))
+    # --- small path: bounded duplication + ONE global key/value sort.
+    # The KR*KC duplicate keys are built as FLAT (N,) arrays per slot —
+    # (N, KR, KC) shapes put the size-2 axes in the minor dims, a
+    # pathological TPU lane layout (measured 2.9 -> ~0.3 ms).
     sentinel = jnp.iinfo(jnp.int32).max
-    key = jnp.where(dup_ok,
-                    (tile_id << DEPTH_BITS) | dq[:, None, None],
-                    sentinel).reshape(-1)
-    val = jnp.broadcast_to(gid[:, None, None], tile_id.shape).reshape(-1)
+    keys, vals = [], []
+    for dr in range(DUP_KR):
+        for dc in range(DUP_KC):
+            tr = rmin + dr
+            tc = cmin + dc
+            okk = (small & (tr <= rmax) & (tc <= cmax)
+                   & (tr < nrows) & (tc < ncols))
+            keys.append(jnp.where(okk, ((tr * ncols + tc) << DEPTH_BITS) | dq,
+                                  sentinel))
+            vals.append(gid)
+    key = jnp.concatenate(keys)
+    val = jnp.concatenate(vals)
     skey, sval = jax.lax.sort((key, val), num_keys=1)
 
     tile_base = jnp.arange(t, dtype=jnp.int32) << DEPTH_BITS
@@ -124,11 +130,18 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
     in_seg = offs < ends[:, None]
     offs_c = jnp.minimum(offs, key.shape[0] - 1)
-    small_dq = jnp.where(in_seg, skey[offs_c] & DEPTH_MAX, DEPTH_MAX + 1)
-    small_idx = jnp.where(in_seg, sval[offs_c], n)                      # (T, C)
+    # ONE row gather of (key,val) pairs: two scalar-element gathers cost
+    # ~60% more than one 8-byte-row gather (measured)
+    pairs = jnp.stack([skey, sval], axis=1)                             # (S, 2)
+    rows = pairs[offs_c]                                                # (T,C,2)
+    small_dq = jnp.where(in_seg, rows[..., 0] & DEPTH_MAX, DEPTH_MAX + 1)
+    small_idx = jnp.where(in_seg, rows[..., 1], n)                      # (T, C)
 
-    # --- big path: compact the (rare) oversized gaussians globally first
-    k_big = min(1024, max(capacity // 2, 8), n)
+    # --- big path: compact the (rare) oversized gaussians globally first.
+    # k is NOT tied to the per-tile capacity: undersizing it drops whole
+    # gaussians globally (a correctness cliff), while capacity truncation
+    # only drops per-tile depth tails.
+    k_big = min(1024, n)
     big_key = jnp.where(big, dq, DEPTH_MAX + 1)
     neg_bd, big_i = jax.lax.top_k(-big_key, k_big)                      # by depth
     big_dq_sel = -neg_bd                                                # (Kb,)

@@ -94,7 +94,8 @@ def comp_only(packed, counts):
 p = bench(proj_only, means3d, rotations, label="  project")
 L = bench(lists_only, p, label="  tile lists")
 packed = bench(gather_only, p, L.idx, label="  gather/pack")
-counts = L.count.reshape(16, 4)
+from dimo_tpu.ops.rasterizer.tiles import TILE_H as _TH, TILE_W as _TW
+counts = L.count.reshape(512 // _TH, 512 // _TW)
 bench(comp_only, packed, counts, label="  composite")
 cn = np.asarray(L.count)
 print("counts: min", cn.min(), "max", cn.max(), "mean", cn.mean(),

@@ -30,7 +30,7 @@ jax.block_until_ready(pr)
 mean2d, radius, depth, ok = pr.mean2d, pr.cull_radius, pr.depth, pr.in_frustum
 
 H = W = 512
-NROWS, NCOLS = H // 32, W // 128
+NROWS, NCOLS = H // Tm.TILE_H, W // Tm.TILE_W
 T, C = NROWS * NCOLS, 1024
 N = mean2d.shape[0]
 DEPTH_BITS, DEPTH_MAX = Tm.DEPTH_BITS, Tm.DEPTH_MAX
@@ -38,10 +38,10 @@ DEPTH_BITS, DEPTH_MAX = Tm.DEPTH_BITS, Tm.DEPTH_MAX
 
 @jax.jit
 def keybuild(mean2d, radius, depth, ok):
-    cmin = jnp.floor((mean2d[:, 0] - radius) / 128).astype(jnp.int32)
-    cmax = jnp.floor((mean2d[:, 0] + radius) / 128).astype(jnp.int32)
-    rmin = jnp.floor((mean2d[:, 1] - radius) / 32).astype(jnp.int32)
-    rmax = jnp.floor((mean2d[:, 1] + radius) / 32).astype(jnp.int32)
+    cmin = jnp.floor((mean2d[:, 0] - radius) / Tm.TILE_W).astype(jnp.int32)
+    cmax = jnp.floor((mean2d[:, 0] + radius) / Tm.TILE_W).astype(jnp.int32)
+    rmin = jnp.floor((mean2d[:, 1] - radius) / Tm.TILE_H).astype(jnp.int32)
+    rmax = jnp.floor((mean2d[:, 1] + radius) / Tm.TILE_H).astype(jnp.int32)
     on = (cmax >= 0) & (cmin <= NCOLS - 1) & (rmax >= 0) & (rmin <= NROWS - 1)
     alive = ok & (radius > 0.0) & on
     cmin = jnp.clip(cmin, 0, NCOLS - 1); cmax = jnp.clip(cmax, 0, NCOLS - 1)
