@@ -79,7 +79,7 @@ def main() -> None:
     @jax.jit
     def fwd(p, t):
         out = render(cfg, p, aux, cam, t, "s2", 1, 512, 512, bg,
-                     knn_cache=knn_cache, capacity=1024)
+                     knn_cache=knn_cache, capacity=1024, channels=3)
         return out["image"]
 
     img = fwd(params, 0.0)

@@ -65,6 +65,7 @@ def render(
     local_frame: bool = True,
     capacity: int = 1024,
     use_oracle: bool = False,
+    channels: int = 7,
 ):
     """Render one (camera, time, motion) job. Fully jit/vmap-safe.
 
@@ -97,7 +98,7 @@ def render(
         rotations = quat_ops.normalize(params.rotation)
 
     raster = rasterize_dense if use_oracle else rasterize
-    kwargs = {} if use_oracle else {"capacity": capacity}
+    kwargs = {} if use_oracle else {"capacity": capacity, "channels": channels}
     out = raster(
         means3d, scales, rotations, opacity, G.get_features(params),
         camera, width, height, bg,

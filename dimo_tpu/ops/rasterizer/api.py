@@ -22,7 +22,7 @@ from jax import lax
 
 from dimo_tpu.ops.rasterizer import projection as proj_mod
 from dimo_tpu.ops.rasterizer import tiles as tiles_mod
-from dimo_tpu.ops.rasterizer.composite_pallas import composite
+from dimo_tpu.ops.rasterizer.composite_pallas import composite, composite_infer
 from dimo_tpu.ops.rasterizer.gather import gather_rows
 from dimo_tpu.ops.rasterizer.tiles import TILE_H, TILE_W
 
@@ -56,6 +56,7 @@ def rasterize(
     override_color: jnp.ndarray | None = None,
     valid: jnp.ndarray | None = None,
     mean2d_tap: jnp.ndarray | None = None,
+    channels: int = 7,
 ) -> RenderOutput:
     """Render N Gaussians through the tiled Pallas compositor.
 
@@ -66,6 +67,9 @@ def rasterize(
       bg: (3,) background color.
       valid: (N,) bool mask for padded slots.
       mean2d_tap: optional (N,2) zeros; see module docstring.
+      channels: 7 (rgb+depth+normal, differentiable) or 3/4 for the
+        forward-only inference kernel (depth/normal outputs zero-filled;
+        fps/test paths that only consume the image skip those FMAs).
     """
     p = proj_mod.project(
         means3d, scales, quats, opacities, sh_coeffs,
@@ -100,13 +104,18 @@ def rasterize(
     packed = gather_rows(attrs, lists.idx)          # (T, C, 16)
 
     counts = lists.count.reshape(h_pad // TILE_H, w_pad // TILE_W)
-    out, tfin = composite(packed, counts, h_pad, w_pad)
+    if channels == 7:
+        out, tfin = composite(packed, counts, h_pad, w_pad)
+    else:
+        out, tfin = composite_infer(packed, counts, h_pad, w_pad, channels)
     out = out[:, :height, :width]
     tfin = tfin[:height, :width]
 
+    zeros = jnp.zeros((1, height, width), out.dtype)
     image = out[0:3] + tfin[None] * bg[:, None, None]
-    depth = out[3:4]
-    normal = out[4:7]
+    depth = out[3:4] if channels >= 4 else zeros
+    normal = out[4:7] if channels == 7 else jnp.broadcast_to(
+        zeros, (3, height, width))
     alpha = (1.0 - tfin)[None]
     return RenderOutput(
         image=image, depth=depth, normal=normal, alpha=alpha,

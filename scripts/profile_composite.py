@@ -37,9 +37,11 @@ jax.block_until_ready(packed)
 NR, NC = 512 // Tm.TILE_H, 512 // Tm.TILE_W
 counts2 = count.reshape(NR, NC)
 
-@jax.jit
-def fwd(packed, counts2):
-    return CP._fwd_call(packed, counts2, 512, 512)
+import functools as _ft
+
+@_ft.partial(jax.jit, static_argnums=(2,))
+def fwd(packed, counts2, out_ch=7):
+    return CP._fwd_call(packed, counts2, 512, 512, out_ch)
 
 out, tfin, nproc = fwd(packed, counts2)
 jax.block_until_ready(out)
@@ -57,7 +59,8 @@ def bench(f, *a, n=30, label=""):
     jax.block_until_ready(r)
     print(f"{label:30s} {(time.time()-t0)/n*1000:9.2f} ms")
 
-bench(fwd, packed, counts2, label="composite fwd")
+bench(fwd, packed, counts2, 7, label="composite fwd ch7")
+bench(fwd, packed, counts2, 3, label="composite fwd ch3")
 
 # backward cost
 gout = jnp.ones((CP.OUT_CH + 1, 512, 512))
