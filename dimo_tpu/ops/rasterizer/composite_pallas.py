@@ -83,7 +83,13 @@ ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
-def _interpret() -> bool:
+def _interpret(which: str = "") -> bool:
+    """DIMO_FORCE_INTERPRET='cfwd,cbwd' (or 'all') runs the named kernels in
+    interpreter mode even on TPU — the bisection knob for isolating
+    Mosaic-compiled kernels."""
+    forced = os.environ.get("DIMO_FORCE_INTERPRET", "")
+    if forced and (forced == "all" or which in forced.split(",")):
+        return True
     return jax.default_backend() != "tpu"
 
 
@@ -193,7 +199,7 @@ def _pick_g(cap: int, pref: int) -> int:
 
 
 def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
-                nproc_ref, t_ref):
+                t_ref):
     """Forward compositor, MXU-batched alpha evaluation.
 
     Per chunk of g_block gaussians the alpha maps for the WHOLE chunk are
@@ -214,8 +220,13 @@ def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
     (8, TILE_W) feature matrix, and ONE exp covers the chunk. The serial
     front-to-back dependency is reduced to 2 vector ops per gaussian
     (w = alpha*T; T -= w) plus the per-channel FMAs. Tile-local pixel
-    coordinates keep the quadratic's cancellation error ~1e-4 in f32;
-    Precision.HIGHEST keeps the MXU passes at f32 fidelity.
+    coordinates keep the quadratic's cancellation error ~1e-4 in f32.
+
+    No transmittance early-exit: measured, the tile-max-T exit never fires
+    on realistic object scenes (silhouette tiles keep background pixels at
+    T=1), so the loop is bounded by counts alone and the backward derives
+    the SAME block count from counts — no recorded-progress (nproc)
+    coupling between the passes.
     """
     cap = packed_ref.shape[1]
     r = pl.program_id(0)
@@ -233,12 +244,7 @@ def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
         out_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     t_ref[...] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
-    def cond(carry):
-        blk, tmax = carry
-        return jnp.logical_and(blk < nblocks, tmax > T_EPS)
-
-    def body(carry):
-        blk, _ = carry
+    def body(blk, _):
         slab = packed_ref[0, pl.ds(blk * g_block, g_block), :]   # (G, 16)
         alpha, _ = _chunk_alpha(slab, x_off, y_off, k)
 
@@ -253,15 +259,14 @@ def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
         for ch in range(out_ch):
             out_ref[ch] = accs[ch]
         t_ref[...] = T
-        return blk + 1, jnp.max(T)
+        return 0
 
-    blk_done, _ = lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+    lax.fori_loop(0, nblocks, body, 0)
     tfin_ref[...] = t_ref[...]
-    nproc_ref[r, c] = blk_done * g_block
 
 
-def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
-                dpacked_ref, gs_ref, t_ref, dpow_ref, w_ref):
+def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, count_ref,
+                dpacked_ref, gs_ref, t_ref, dpow_ref, w_ref, grep_ref):
     """Backward pass, restructured around the same batched `_chunk_alpha`
     as the forward (bit-identical alpha reconstruction — see _ChunkConsts).
 
@@ -280,15 +285,25 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
     y_off = (r * TILE_H).astype(jnp.float32)
     k = _ChunkConsts(g_block)
     col16 = lax.broadcasted_iota(jnp.int32, (g_block, ATTR_DIM), 1)
-    nblocks_done = nproc_ref[r, c] // g_block
+    cap = packed_ref.shape[1]
+    count = count_ref[r, c]
+    # identical bound to the forward (both round count up to their block):
+    # rows in [count, nblocks*g) are dummy (alpha 0) — harmless both ways
+    nblocks_done = jnp.minimum((count + g_block - 1) // g_block,
+                               cap // g_block)
 
     dpacked_ref[...] = jnp.zeros_like(dpacked_ref)
     gouts = [gout_ref[ch] for ch in range(OUT_CH)]               # (TH, TW) each
     gtfin = gout_ref[OUT_CH]
     tfin = tfin_ref[...]
     # per-(g,y) row expansion of each gradient channel: constant across
-    # chunks — hoisted out of the loop (was 7 matmuls PER CHUNK)
-    greps = [_dot_oh(k.y13, gouts[ch]) for ch in range(OUT_CH)]  # (gb, TW)
+    # chunks — hoisted out of the loop (was 7 matmuls PER CHUNK) and kept
+    # in DECLARED scratch, not compiler-stack values: ~2MB of hoisted
+    # stack values alongside the loop's own temporaries overran the
+    # scoped-VMEM accounting and corrupted neighboring buffers (device
+    # fault only in large surrounding programs)
+    for ch in range(OUT_CH):
+        grep_ref[ch * gb:(ch + 1) * gb, :] = _dot_oh(k.y13, gouts[ch])
     # dL/dalpha needs only ONE running plane, not OUT_CH suffix sums:
     #   dalpha = CG_j*T_i - GS/(1-alpha) with CG_j = sum_ch g_ch*c_jch and
     #   GS = gtfin*tfin + sum_ch g_ch*S_ch, updated as GS += CG_j*aw.
@@ -365,7 +380,8 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, nproc_ref,
         for ch in range(OUT_CH):
             s_all = s_all + jnp.where(
                 colq == ch,
-                jnp.sum(w * greps[ch], axis=1, keepdims=True), 0.0)
+                jnp.sum(w * grep_ref[ch * gb:(ch + 1) * gb, :], axis=1,
+                        keepdims=True), 0.0)
         dc_all = _dot_oh(k.rrepT3, s_all)                        # (G, 8)
         for ch in range(OUT_CH):
             slab_d = slab_d + jnp.where(col16 == A_R + ch,
@@ -393,22 +409,19 @@ def _fwd_call(packed, counts, height: int, width: int, out_ch: int = OUT_CH):
         out_shape=[
             jax.ShapeDtypeStruct((out_ch, height, width), jnp.float32),
             jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((nrows, ncols), jnp.int32),
         ],
         out_specs=[
             pl.BlockSpec((out_ch, TILE_H, TILE_W), lambda r, c: (0, r, c)),
             pl.BlockSpec((TILE_H, TILE_W), lambda r, c: (r, c)),
-            pl.BlockSpec((nrows, ncols), lambda r, c: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
         ],
-        interpret=_interpret(),
+        interpret=_interpret("cfwd"),
     )(packed, counts)
 
 
-def _bwd_call(packed, gout, tfin, nproc, height: int, width: int):
+def _bwd_call(packed, gout, tfin, counts, height: int, width: int):
     t, cap, _ = packed.shape
     nrows, ncols = height // TILE_H, width // TILE_W
     g = _pick_g(cap, G_BWD)
@@ -431,9 +444,10 @@ def _bwd_call(packed, gout, tfin, nproc, height: int, width: int):
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),       # running T
             pltpu.VMEM((g * TILE_H, TILE_W), jnp.float32),   # dpower chunk
             pltpu.VMEM((g * TILE_H, TILE_W), jnp.float32),   # w = alpha*T_i
+            pltpu.VMEM((OUT_CH * g * TILE_H, TILE_W), jnp.float32),  # greps
         ],
-        interpret=_interpret(),
-    )(packed, gout, tfin, nproc)
+        interpret=_interpret("cbwd"),
+    )(packed, gout, tfin, counts)
 
 
 def composite_infer(packed: jnp.ndarray, counts: jnp.ndarray, height: int,
@@ -441,7 +455,7 @@ def composite_infer(packed: jnp.ndarray, counts: jnp.ndarray, height: int,
     """Forward-only composite of the first `out_ch` channels (rgb=3,
     +depth=4, +normal=7). Not differentiable — inference/fps paths that
     don't consume depth/normal skip their per-gaussian FMAs entirely."""
-    out, tfin, _ = _fwd_call(packed, counts, height, width, out_ch)
+    out, tfin = _fwd_call(packed, counts, height, width, out_ch)
     return out, tfin
 
 
@@ -454,20 +468,20 @@ def composite(packed: jnp.ndarray, counts: jnp.ndarray, height: int,
     counts: (nrows, ncols) int32 live entries per tile (loop bound).
     height/width: static multiples of (TILE_H, TILE_W).
     """
-    out, tfin, _ = _fwd_call(packed, counts, height, width)
+    out, tfin = _fwd_call(packed, counts, height, width)
     return out, tfin
 
 
 def _composite_fwd(packed, counts, height, width):
-    out, tfin, nproc = _fwd_call(packed, counts, height, width)
-    return (out, tfin), (packed, tfin, nproc)
+    out, tfin = _fwd_call(packed, counts, height, width)
+    return (out, tfin), (packed, tfin, counts)
 
 
 def _composite_bwd(height, width, res, g):
-    packed, tfin, nproc = res
+    packed, tfin, counts = res
     gout7, gtfin = g
     gout = jnp.concatenate([gout7, gtfin[None]], axis=0)
-    dpacked = _bwd_call(packed, gout, tfin, nproc, height, width)
+    dpacked = _bwd_call(packed, gout, tfin, counts, height, width)
     return (dpacked, None)
 
 

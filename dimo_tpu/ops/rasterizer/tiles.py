@@ -149,7 +149,10 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
     has_left = (tid % ncols) > 0
     has_up = tid >= ncols
     arangec = jnp.arange(capacity, dtype=jnp.int32)[None]
-    # (source tile offset, does-source-exist mask, which spill flag admits)
+    # (source tile offset, does-source-exist mask, which spill flag admits).
+    # Neighbor windows must cover the FULL capacity: spill entries sit at
+    # arbitrary depth ranks inside a neighbor's segment, so a shorter scan
+    # window would silently miss them even when nothing is over capacity.
     sources = [
         (0, None, None),                    # home: always included
         (1, has_left, "c"),                 # left neighbor, col spill

@@ -34,7 +34,11 @@ BLOCK = 4096     # rows per grid step; onehot scratch = BLOCK x M bf16
 MAX_M = 2048     # VMEM budget guard for the one-hot slice
 
 
-def _interpret() -> bool:
+def _interpret(which: str = "") -> bool:
+    import os
+    forced = os.environ.get("DIMO_FORCE_INTERPRET", "")
+    if forced and (forced == "all" or which in forced.split(",")):
+        return True
     return jax.default_backend() != "tpu"
 
 
@@ -119,7 +123,7 @@ def _fwd_call(table: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
         ],
         out_shape=jax.ShapeDtypeStruct((s_pad, d), jnp.float32),
         out_specs=pl.BlockSpec((BLOCK, d), lambda i: (i, 0)),
-        interpret=_interpret(),
+        interpret=_interpret("sgfwd"),
     )(idx2, hi, lo)
     return out[:s]
 
@@ -145,7 +149,7 @@ def _bwd_call(flat_idx: jnp.ndarray, g: jnp.ndarray, m: int) -> jnp.ndarray:
         ],
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
         out_specs=pl.BlockSpec((m, d), lambda i: (0, 0)),
-        interpret=_interpret(),
+        interpret=_interpret("sgbwd"),
     )(idx2, ghi, glo)
 
 

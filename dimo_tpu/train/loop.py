@@ -263,7 +263,7 @@ class Trainer:
         Checked every 10 steps to avoid a per-step host sync."""
         if self.step % 10 != 0:
             return
-        cap_max = int(self.opt.get("tile_capacity_max", 4096))
+        cap_max = int(self.opt.get("tile_capacity_max", 2048))
         if self.tile_capacity >= cap_max:
             return
         ov = float(metrics["overflow"])

@@ -1,6 +1,6 @@
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-"""Composite deep-dive on the flagship scene: nproc (blocks actually
-processed per tile before count/transmittance exit) vs counts."""
+"""Composite deep-dive on the flagship scene: per-tile counts + fwd/bwd
+timings (count-bounded loop; no transmittance early exit)."""
 import time
 import numpy as np, jax, jax.numpy as jnp
 
@@ -43,13 +43,10 @@ import functools as _ft
 def fwd(packed, counts2, out_ch=7):
     return CP._fwd_call(packed, counts2, 512, 512, out_ch)
 
-out, tfin, nproc = fwd(packed, counts2)
+out, tfin = fwd(packed, counts2)
 jax.block_until_ready(out)
-np_ = np.asarray(nproc).reshape(-1)
 cn = np.asarray(count)
 print("counts   : min %d max %d mean %.0f sum %d" % (cn.min(), cn.max(), cn.mean(), cn.sum()))
-print("nproc    : min %d max %d mean %.0f sum %d" % (np_.min(), np_.max(), np_.mean(), np_.sum()))
-print("tiles at full nproc==count:", int((np_ >= cn).sum()), "/", len(np_))
 
 def bench(f, *a, n=30, label=""):
     r = f(*a); jax.block_until_ready(r)
@@ -66,7 +63,7 @@ bench(fwd, packed, counts2, 3, label="composite fwd ch3")
 gout = jnp.ones((CP.OUT_CH + 1, 512, 512))
 
 @jax.jit
-def bwd(packed, gout, tfin, nproc):
-    return CP._bwd_call(packed, gout, tfin, nproc, 512, 512)
+def bwd(packed, gout, tfin, counts2):
+    return CP._bwd_call(packed, gout, tfin, counts2, 512, 512)
 
-bench(bwd, packed, gout, tfin, nproc, label="composite bwd")
+bench(bwd, packed, gout, tfin, counts2, label="composite bwd")

@@ -48,6 +48,19 @@ class TestForwardAgreement:
         # scene actually renders something
         assert float(jnp.max(tiled.alpha)) > 0.5
 
+    def test_channels3_matches_full(self):
+        """The forward-only rgb path (channels=3) must produce the same image
+        as the differentiable 7-channel kernel, with zeroed depth/normal."""
+        means, scales, quats, opac, sh, cam = make_scene(seed=7)
+        full = rasterize(means, scales, quats, opac, sh, cam, W, H, BG,
+                         capacity=64)
+        rgb = rasterize(means, scales, quats, opac, sh, cam, W, H, BG,
+                        capacity=64, channels=3)
+        np.testing.assert_allclose(rgb.image, full.image, atol=1e-6)
+        np.testing.assert_allclose(rgb.alpha, full.alpha, atol=1e-6)
+        np.testing.assert_allclose(rgb.depth, 0.0, atol=0)
+        np.testing.assert_allclose(rgb.normal, 0.0, atol=0)
+
     def test_empty_scene_is_background(self):
         means, scales, quats, opac, sh, cam = make_scene(5)
         out = rasterize(means, scales, quats, 0.0 * opac, sh, cam, W, H, BG,
