@@ -5,30 +5,50 @@ Parity with the reference's stage-2 deformation blend
 the 4 nearest control points, per-neighbor local-frame rigid transform,
 quaternion composition of blended residual rotations.
 
-TPU shape: the neighbor lookups are ONE one-hot matmul against a fused
-(M, 11) control-point table (XLA row-gather serializes at ~18 ns/row; the
-MXU does the same job 4x faster forward and turns the backward into a
-matmul instead of a scatter-add), and the local-frame transform uses the
-direct quaternion-rotation formula so no (N, K, 3, 3) matrices hit HBM.
-Measured on v5e at 100k x 4: 9.4 -> ~2 ms forward, 20 -> ~6 ms fwd+bwd.
+TPU shape: the neighbor lookups are ONE one-hot MXU matmul against a fused
+(11, M) control-point table emitting COLUMN layout (D, K, N) — see
+ops/smallgather.gather_small_cols — and every piece of the blend math runs
+on flat (N,)-lane component rows. The round-2 version worked on (N, K, 3) /
+(N, K, 4) arrays whose size-3/4 minor dims are pathological TPU lane
+layouts (each vector op pays 128/3 lane padding); the flat form does the
+identical arithmetic at full lane occupancy. KNN caches are therefore kept
+in (K, N) layout throughout (find_knn produces it natively: each argmin
+round yields an (N,) row).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 from jax import lax
 
-from dimo_tpu.ops import quat as quat_ops
-from dimo_tpu.ops.smallgather import gather_small
+from dimo_tpu.ops.smallgather import gather_small_cols
 
 EPS = 1e-7
 
 
 def knn_weights(nn_dist: jnp.ndarray, c_radius_n: jnp.ndarray) -> jnp.ndarray:
-    """w = l1-normalize(exp(-d^2 / (2 r_n^2)) + eps); dists carry no gradient
-    (the reference computes KNN on detached tensors)."""
+    """w = l1-normalize(exp(-d^2 / (2 r_n^2)) + eps) over the K axis (axis 0;
+    inputs are (K, N)); dists carry no gradient (the reference computes KNN
+    on detached tensors)."""
     nn_dist = lax.stop_gradient(nn_dist)
     w = jnp.exp(-(nn_dist ** 2) / (2.0 * (c_radius_n ** 2))) + EPS
-    return w / jnp.sum(jnp.abs(w), axis=-1, keepdims=True)
+    return w / jnp.sum(jnp.abs(w), axis=0, keepdims=True)
+
+
+def _rotate_flat(qw, qx, qy, qz, vx, vy, vz):
+    """Rotate (vx,vy,vz) rows by the NORMALIZED quaternion rows — the
+    rotation-matrix formula expanded over flat (N,) components."""
+    inv = lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12)
+    qw, qx, qy, qz = qw * inv, qx * inv, qy * inv, qz * inv
+    rx = ((1 - 2 * (qy * qy + qz * qz)) * vx
+          + 2 * (qx * qy - qw * qz) * vy
+          + 2 * (qx * qz + qw * qy) * vz)
+    ry = (2 * (qx * qy + qw * qz) * vx
+          + (1 - 2 * (qx * qx + qz * qz)) * vy
+          + 2 * (qy * qz - qw * qx) * vz)
+    rz = (2 * (qx * qz - qw * qy) * vx
+          + 2 * (qy * qz + qw * qx) * vy
+          + (1 - 2 * (qx * qx + qy * qy)) * vz)
+    return rx, ry, rz
 
 
 def lbs_blend(
@@ -38,29 +58,60 @@ def lbs_blend(
     d_xyz_c: jnp.ndarray,      # (M, 3) control point translations at t
     d_rot_c: jnp.ndarray,      # (M, 4) control point rotation residuals at t
     c_radius: jnp.ndarray,     # (M, 1) linear radii
-    nn_idx: jnp.ndarray,       # (N, K) neighbor cpt indices
-    nn_dist: jnp.ndarray,      # (N, K) neighbor euclidean distances
+    nn_idx: jnp.ndarray,       # (K, N) neighbor cpt indices
+    nn_dist: jnp.ndarray,      # (K, N) neighbor euclidean distances
     local_frame: bool = True,
 ):
     """Returns (deformed xyz (N,3), composed rotation (N,4) normalized)."""
-    # ONE fused neighbor lookup: [radius | c_xyz | d_xyz | d_rot] rows via
-    # one-hot matmul (see ops/smallgather.py)
-    table = jnp.concatenate([c_radius, c_xyz, d_xyz_c, d_rot_c], axis=1)
-    g = gather_small(table, nn_idx)                       # (N, K, 11)
-    r_n = g[..., 0]                                       # (N, K)
-    c_n = g[..., 1:4]                                     # (N, K, 3)
-    d_n = g[..., 4:7]                                     # (N, K, 3)
-    q_n = g[..., 7:11]                                    # (N, K, 4)
-    w = knn_weights(nn_dist, r_n)                         # (N, K)
+    k, n = nn_idx.shape
+    # ONE fused neighbor lookup, column layout: rows are components
+    # [radius | c_xyz(3) | d_xyz(3) | d_rot(4)], columns are (K*N) sites
+    table_t = jnp.concatenate(
+        [c_radius.T, c_xyz.T, d_xyz_c.T, d_rot_c.T], axis=0)  # (11, M)
+    g = gather_small_cols(table_t, nn_idx)                    # (11, K, N)
+    r_n = g[0]                                                # (K, N)
+    w = knn_weights(nn_dist, r_n)                             # (K, N)
 
-    if local_frame:
-        local = xyz[:, None, :] - c_n                     # (N, K, 3)
-        moved = quat_ops.rotate(q_n, local) + c_n + d_n
-        pts = jnp.sum(w[..., None] * moved, axis=1)
-    else:
-        pts = xyz + jnp.sum(w[..., None] * d_n, axis=1)
+    x0, x1, x2 = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    px = jnp.zeros_like(x0)
+    py = jnp.zeros_like(x0)
+    pz = jnp.zeros_like(x0)
+    rw = jnp.zeros_like(x0)
+    rx = jnp.zeros_like(x0)
+    ry = jnp.zeros_like(x0)
+    rz = jnp.zeros_like(x0)
+    for j in range(k):
+        wk = w[j]
+        cx, cy, cz = g[1, j], g[2, j], g[3, j]
+        dx, dy, dz = g[4, j], g[5, j], g[6, j]
+        qw, qx, qy, qz = g[7, j], g[8, j], g[9, j], g[10, j]
+        if local_frame:
+            mx, my, mz = _rotate_flat(qw, qx, qy, qz,
+                                      x0 - cx, x1 - cy, x2 - cz)
+            px = px + wk * (mx + cx + dx)
+            py = py + wk * (my + cy + dy)
+            pz = pz + wk * (mz + cz + dz)
+        else:
+            px = px + wk * dx
+            py = py + wk * dy
+            pz = pz + wk * dz
+        # blended residual rotation uses the RAW (unnormalized) quats,
+        # exactly like the reference's weighted sum
+        rw = rw + wk * qw
+        rx = rx + wk * qx
+        ry = ry + wk * qy
+        rz = rz + wk * qz
+    if not local_frame:
+        px, py, pz = x0 + px, x1 + py, x2 + pz
 
-    rot_res = jnp.sum(w[..., None] * q_n, axis=1)         # (N, 4)
-    rot = quat_ops.multiply(rot_res, rotation)
-    rot = quat_ops.normalize(rot)
+    # compose with the gaussian's own quaternion: (blended) * rotation
+    bw, bx, by, bz = (rotation[:, 0], rotation[:, 1],
+                      rotation[:, 2], rotation[:, 3])
+    ow = rw * bw - rx * bx - ry * by - rz * bz
+    ox = rw * bx + rx * bw + ry * bz - rz * by
+    oy = rw * by - rx * bz + ry * bw + rz * bx
+    oz = rw * bz + rx * by - ry * bx + rz * bw
+    inv = lax.rsqrt(ow * ow + ox * ox + oy * oy + oz * oz + 1e-12)
+    rot = jnp.stack([ow * inv, ox * inv, oy * inv, oz * inv], axis=-1)
+    pts = jnp.stack([px, py, pz], axis=-1)
     return pts, rot

@@ -28,6 +28,9 @@ from dimo_tpu.ops.rasterizer import rasterize, rasterize_dense
 def find_knn(params: G.GaussianParams, aux: G.GaussianAux, k: int = 4):
     """KNN of every gaussian among the active control points
     (reference find_knn, `main_train_dimo.py:502-509`). Non-differentiable.
+    Returns (dist, idx) in (K, N) layout — each argmin round natively yields
+    an (N,) row, and the LBS blend consumes per-k rows (minor-dim-K arrays
+    are pathological TPU lane layouts; see models/deform.py).
 
     Iterated argmin instead of lax.top_k: 8x faster on TPU for k=4 (the
     top_k lowering sorts the whole 512-wide axis; see ops/neighbors.knn)."""
@@ -42,8 +45,8 @@ def find_knn(params: G.GaussianParams, aux: G.GaussianAux, k: int = 4):
         ds.append(jnp.min(d2, axis=1))
         ids.append(i)
         d2 = jnp.where(col == i[:, None], jnp.inf, d2)
-    return (jnp.sqrt(jnp.maximum(jnp.stack(ds, 1), 0.0)),
-            jnp.stack(ids, 1))
+    return (jnp.sqrt(jnp.maximum(jnp.stack(ds, 0), 0.0)),
+            jnp.stack(ids, 0))
 
 
 def render(

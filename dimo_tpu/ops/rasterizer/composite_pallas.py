@@ -13,12 +13,15 @@ Performance notes:
     16px rows were measured SLOWER end-to-end: the halved per-entry work
     is erased by near-doubled row-crossing duplication at trained-scene
     footprints (~5-7px radii);
-  * Gaussians stream in blocks of G=8: one dynamic VMEM slice per block,
-    then static scalar extracts — no scalar DMA;
-  * early exit per tile once every pixel's transmittance < 1e-4; forward
-    records how far it got so backward replays exactly the same prefix;
-  * all math is 2D (TILE_H, TILE_W) vector ops — deliberately no 3D/1D
-    shapes inside the kernel for Mosaic friendliness;
+  * Gaussians stream in blocks of G_FWD=64 / G_BWD=16; per chunk the alpha
+    maps for the whole block come from two small MXU matmuls (see
+    _chunk_alpha) instead of per-gaussian vector chains;
+  * the loop is bounded by per-tile counts alone (a transmittance early
+    exit never fires on realistic object scenes — silhouette tiles keep
+    background pixels at T=1); backward derives the same block count from
+    counts, so the passes share no recorded-progress state;
+  * all math is 2D vector ops — deliberately no 3D/1D shapes inside the
+    kernel for Mosaic friendliness;
   * projection/SH/binning/gathers live in jnp and are differentiated by
     autodiff; XLA fuses them around this kernel.
 """
@@ -71,14 +74,6 @@ def _dot_oh(onehot3_bf16, x):
                    preferred_element_type=jnp.float32)
 
 
-def _dot3(a, bh, bl):
-    """~f32-fidelity matmul (bf16x3 style): a split on the fly, b pre-split.
-    Drops only the lo*lo term (~2^-16 relative)."""
-    ah, al = _split_bf16(a)
-    d = functools.partial(jnp.dot, precision=lax.Precision.DEFAULT,
-                          preferred_element_type=jnp.float32)
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
-T_EPS = 1e-4
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
@@ -198,9 +193,9 @@ def _pick_g(cap: int, pref: int) -> int:
     return 1
 
 
-def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
-                t_ref):
-    """Forward compositor, MXU-batched alpha evaluation.
+def _fwd_kernel(g_block, out_ch, ncap, packed_ref, count_ref, out_ref,
+                tfin_ref, t_ref):
+    """Forward compositor, MXU-batched alpha evaluation, STREAMED grid.
 
     Per chunk of g_block gaussians the alpha maps for the WHOLE chunk are
     produced by two small matmuls instead of per-gaussian vector chains:
@@ -222,30 +217,38 @@ def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
     (w = alpha*T; T -= w) plus the per-channel FMAs. Tile-local pixel
     coordinates keep the quadratic's cancellation error ~1e-4 in f32.
 
+    The capacity axis is a GRID dimension (one chunk per grid step) rather
+    than an in-kernel fori_loop over a fully-resident (cap, 16) slab:
+    Mosaic double-buffers the (g_block, 16) chunk DMA against compute, the
+    accumulator planes live in the revisited output block, and per-step
+    VMEM is independent of capacity (the resident-slab design hit a device
+    fault at capacity 4096 — scoped-VMEM overrun). Chunks past the tile's
+    live count skip all compute under pl.when (their DMA is 4KB — noise).
+
     No transmittance early-exit: measured, the tile-max-T exit never fires
     on realistic object scenes (silhouette tiles keep background pixels at
     T=1), so the loop is bounded by counts alone and the backward derives
-    the SAME block count from counts — no recorded-progress (nproc)
-    coupling between the passes.
+    the SAME chunk count from counts — no recorded-progress coupling
+    between the passes.
     """
-    cap = packed_ref.shape[1]
     r = pl.program_id(0)
     c = pl.program_id(1)
+    kk = pl.program_id(2)
     x_off = (c * TILE_W).astype(jnp.float32)
     y_off = (r * TILE_H).astype(jnp.float32)
-    # process only the tile's live prefix (padded slots are zero-opacity but
-    # still cost full vector work — counts cut the loop short)
     count = count_ref[r, c]
-    nblocks = jnp.minimum((count + g_block - 1) // g_block,
-                          cap // g_block)
     k = _ChunkConsts(g_block)
+    active = kk * g_block < count
 
-    for ch in range(out_ch):
-        out_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    t_ref[...] = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    @pl.when(kk == 0)
+    def _init():
+        for ch in range(out_ch):
+            out_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        t_ref[...] = jnp.ones((TILE_H, TILE_W), jnp.float32)
 
-    def body(blk, _):
-        slab = packed_ref[0, pl.ds(blk * g_block, g_block), :]   # (G, 16)
+    @pl.when(active)
+    def _blend():
+        slab = packed_ref[0]                                     # (G, 16)
         alpha, _ = _chunk_alpha(slab, x_off, y_off, k)
 
         T = t_ref[...]
@@ -259,13 +262,13 @@ def _fwd_kernel(g_block, out_ch, packed_ref, count_ref, out_ref, tfin_ref,
         for ch in range(out_ch):
             out_ref[ch] = accs[ch]
         t_ref[...] = T
-        return 0
 
-    lax.fori_loop(0, nblocks, body, 0)
-    tfin_ref[...] = t_ref[...]
+    @pl.when(kk == ncap - 1)
+    def _fin():
+        tfin_ref[...] = t_ref[...]
 
 
-def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, count_ref,
+def _bwd_kernel(g_block, ncap, packed_ref, gout_ref, tfin_ref, count_ref,
                 dpacked_ref, gs_ref, t_ref, dpow_ref, w_ref, grep_ref):
     """Backward pass, restructured around the same batched `_chunk_alpha`
     as the forward (bit-identical alpha reconstruction — see _ChunkConsts).
@@ -277,42 +280,48 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, count_ref,
       * coefficient -> (mx,my,ca,cb,cc,op) chain: (G,1) column algebra;
       * channel grads: gout rows expanded per (g,y) with a one-hot matmul,
         masked row-sums, reduced per gaussian.
+
+    Like the forward, the capacity axis is a grid dimension — traversed in
+    REVERSE via the block index maps (chunk ncap-1-k at grid step k), with
+    the GS/T recurrence planes in scratch (persistent across grid steps).
+    Chunks past the live count write zero grads and skip all compute; the
+    running planes stay at their tfin-initialized values until the first
+    live chunk, which is exactly the back-to-front boundary condition.
     """
     gb = g_block * TILE_H
     r = pl.program_id(0)
     c = pl.program_id(1)
+    kk = pl.program_id(2)
     x_off = (c * TILE_W).astype(jnp.float32)
     y_off = (r * TILE_H).astype(jnp.float32)
     k = _ChunkConsts(g_block)
     col16 = lax.broadcasted_iota(jnp.int32, (g_block, ATTR_DIM), 1)
-    cap = packed_ref.shape[1]
     count = count_ref[r, c]
     # identical bound to the forward (both round count up to their block):
     # rows in [count, nblocks*g) are dummy (alpha 0) — harmless both ways
-    nblocks_done = jnp.minimum((count + g_block - 1) // g_block,
-                               cap // g_block)
+    active = (ncap - 1 - kk) * g_block < count
+
+    gouts = [gout_ref[ch] for ch in range(OUT_CH)]               # (TH, TW) each
+
+    @pl.when(kk == 0)
+    def _init():
+        gtfin = gout_ref[OUT_CH]
+        tfin = tfin_ref[...]
+        # per-(g,y) row expansion of each gradient channel: constant across
+        # chunks — computed once per tile into DECLARED scratch.
+        for ch in range(OUT_CH):
+            grep_ref[ch * gb:(ch + 1) * gb, :] = _dot_oh(k.y13, gouts[ch])
+        # dL/dalpha needs only ONE running plane, not OUT_CH suffix sums:
+        #   dalpha = CG_j*T_i - GS/(1-alpha) with CG_j = sum_ch g_ch*c_jch
+        #   and GS = gtfin*tfin + sum_ch g_ch*S_ch, updated GS += CG_j*aw.
+        gs_ref[...] = gtfin * tfin
+        t_ref[...] = tfin
 
     dpacked_ref[...] = jnp.zeros_like(dpacked_ref)
-    gouts = [gout_ref[ch] for ch in range(OUT_CH)]               # (TH, TW) each
-    gtfin = gout_ref[OUT_CH]
-    tfin = tfin_ref[...]
-    # per-(g,y) row expansion of each gradient channel: constant across
-    # chunks — hoisted out of the loop (was 7 matmuls PER CHUNK) and kept
-    # in DECLARED scratch, not compiler-stack values: ~2MB of hoisted
-    # stack values alongside the loop's own temporaries overran the
-    # scoped-VMEM accounting and corrupted neighboring buffers (device
-    # fault only in large surrounding programs)
-    for ch in range(OUT_CH):
-        grep_ref[ch * gb:(ch + 1) * gb, :] = _dot_oh(k.y13, gouts[ch])
-    # dL/dalpha needs only ONE running plane, not OUT_CH suffix sums:
-    #   dalpha = CG_j*T_i - GS/(1-alpha) with CG_j = sum_ch g_ch*c_jch and
-    #   GS = gtfin*tfin + sum_ch g_ch*S_ch, updated as GS += CG_j*aw.
-    gs_ref[...] = gtfin * tfin
-    t_ref[...] = tfin
 
-    def body(i, _):
-        blk = nblocks_done - 1 - i
-        slab = packed_ref[0, pl.ds(blk * g_block, g_block), :]
+    @pl.when(active)
+    def _chunk_bwd():
+        slab = packed_ref[0]                                     # (G, 16)
         alpha_all, araw_all = _chunk_alpha(slab, x_off, y_off, k)
         T_run = t_ref[...]
         GS = gs_ref[...]
@@ -386,10 +395,7 @@ def _bwd_kernel(g_block, packed_ref, gout_ref, tfin_ref, count_ref,
         for ch in range(OUT_CH):
             slab_d = slab_d + jnp.where(col16 == A_R + ch,
                                         dc_all[:, ch:ch + 1], 0.0)
-        dpacked_ref[0, pl.ds(blk * g_block, g_block), :] = slab_d
-        return 0
-
-    lax.fori_loop(0, nblocks_done, body, 0)
+        dpacked_ref[...] = slab_d[None]
 
 
 def _fwd_call(packed, counts, height: int, width: int, out_ch: int = OUT_CH):
@@ -397,13 +403,16 @@ def _fwd_call(packed, counts, height: int, width: int, out_ch: int = OUT_CH):
     assert a == ATTR_DIM, (cap, a)
     nrows, ncols = height // TILE_H, width // TILE_W
     assert nrows * ncols == t, (nrows, ncols, t)
+    g = _pick_g(cap, G_FWD)
+    ncap = cap // g
 
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, _pick_g(cap, G_FWD), out_ch),
-        grid=(nrows, ncols),
+        functools.partial(_fwd_kernel, g, out_ch, ncap),
+        grid=(nrows, ncols, ncap),
         in_specs=[
-            pl.BlockSpec((1, cap, ATTR_DIM), lambda r, c: (r * ncols + c, 0, 0)),
-            pl.BlockSpec((nrows, ncols), lambda r, c: (0, 0),
+            pl.BlockSpec((1, g, ATTR_DIM),
+                         lambda r, c, kk: (r * ncols + c, kk, 0)),
+            pl.BlockSpec((nrows, ncols), lambda r, c, kk: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -411,8 +420,8 @@ def _fwd_call(packed, counts, height: int, width: int, out_ch: int = OUT_CH):
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ],
         out_specs=[
-            pl.BlockSpec((out_ch, TILE_H, TILE_W), lambda r, c: (0, r, c)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda r, c: (r, c)),
+            pl.BlockSpec((out_ch, TILE_H, TILE_W), lambda r, c, kk: (0, r, c)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda r, c, kk: (r, c)),
         ],
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
@@ -425,20 +434,24 @@ def _bwd_call(packed, gout, tfin, counts, height: int, width: int):
     t, cap, _ = packed.shape
     nrows, ncols = height // TILE_H, width // TILE_W
     g = _pick_g(cap, G_BWD)
+    ncap = cap // g
 
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, g),
-        grid=(nrows, ncols),
+        functools.partial(_bwd_kernel, g, ncap),
+        grid=(nrows, ncols, ncap),
         in_specs=[
-            pl.BlockSpec((1, cap, ATTR_DIM), lambda r, c: (r * ncols + c, 0, 0)),
-            pl.BlockSpec((OUT_CH + 1, TILE_H, TILE_W), lambda r, c: (0, r, c)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda r, c: (r, c)),
-            pl.BlockSpec((nrows, ncols), lambda r, c: (0, 0),
+            # reverse traversal: grid step kk processes chunk ncap-1-kk
+            pl.BlockSpec((1, g, ATTR_DIM),
+                         lambda r, c, kk: (r * ncols + c, ncap - 1 - kk, 0)),
+            pl.BlockSpec((OUT_CH + 1, TILE_H, TILE_W),
+                         lambda r, c, kk: (0, r, c)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda r, c, kk: (r, c)),
+            pl.BlockSpec((nrows, ncols), lambda r, c, kk: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((t, cap, ATTR_DIM), jnp.float32),
-        out_specs=pl.BlockSpec((1, cap, ATTR_DIM),
-                               lambda r, c: (r * ncols + c, 0, 0)),
+        out_specs=pl.BlockSpec((1, g, ATTR_DIM),
+                               lambda r, c, kk: (r * ncols + c, ncap - 1 - kk, 0)),
         scratch_shapes=[
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),       # GS plane
             pltpu.VMEM((TILE_H, TILE_W), jnp.float32),       # running T

@@ -182,13 +182,20 @@ class Trainer:
         """Native double-buffered frame packer, or None (numpy fallback)."""
         if getattr(self, "_packer_b", None) == batch_size:
             return self._packer
+        old = getattr(self, "_packer", None)
+        if old is not None:
+            old.close()  # release the native handle + worker thread
         from dimo_tpu.io import native as native_io
         try:
             flat_imgs = self.images.reshape((-1,) + self.images.shape[3:])
             flat_msks = self.masks.reshape((-1,) + self.masks.shape[3:])
             self._packer = native_io.BatchPacker(flat_imgs, flat_msks,
                                                  batch_size, slots=2)
-        except Exception:
+        except Exception as e:
+            if not getattr(self, "_packer_warned", False):
+                print(f"[trainer] native BatchPacker unavailable ({e!r}); "
+                      "using numpy batch gathering")
+                self._packer_warned = True
             self._packer = None
         self._packer_b = batch_size
         self._packer_pending = None

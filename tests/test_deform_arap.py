@@ -18,8 +18,8 @@ class TestLBS:
         d_rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (m, 1))
         c_rad = jnp.ones((m, 1)) * 0.5
         d2 = jnp.sum((xyz[:, None] - c[None]) ** 2, -1)
-        idx = jnp.argsort(d2, axis=1)[:, :4]
-        dist = jnp.sqrt(jnp.take_along_axis(d2, idx, 1))
+        idx = jnp.argsort(d2, axis=1)[:, :4].T           # (K, N) layout
+        dist = jnp.sqrt(jnp.take_along_axis(d2, idx.T, 1)).T
         pts, out_rot = deform.lbs_blend(xyz, rot, c, d_xyz, d_rot, c_rad,
                                         idx, dist)
         np.testing.assert_allclose(pts, xyz, atol=1e-5)
@@ -37,16 +37,16 @@ class TestLBS:
         d_rot = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (m, 1))
         c_rad = jnp.ones((m, 1)) * 0.8
         d2 = jnp.sum((xyz[:, None] - c[None]) ** 2, -1)
-        idx = jnp.argsort(d2, axis=1)[:, :4]
-        dist = jnp.sqrt(jnp.take_along_axis(d2, idx, 1))
+        idx = jnp.argsort(d2, axis=1)[:, :4].T           # (K, N) layout
+        dist = jnp.sqrt(jnp.take_along_axis(d2, idx.T, 1)).T
         pts, _ = deform.lbs_blend(xyz, rot, c, d_xyz, d_rot, c_rad, idx, dist)
         np.testing.assert_allclose(pts, xyz + v, atol=1e-5)
 
     def test_weights_sum_to_one(self):
-        d = jnp.asarray(np.random.RandomState(2).rand(10, 4), jnp.float32)
-        r = jnp.asarray(np.random.RandomState(3).rand(10, 4) + 0.1, jnp.float32)
+        d = jnp.asarray(np.random.RandomState(2).rand(4, 10), jnp.float32)
+        r = jnp.asarray(np.random.RandomState(3).rand(4, 10) + 0.1, jnp.float32)
         w = deform.knn_weights(d, r)
-        np.testing.assert_allclose(jnp.sum(w, -1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(jnp.sum(w, 0), 1.0, atol=1e-5)
 
 
 class TestARAP:
