@@ -62,41 +62,57 @@ def selfcheck() -> dict:
 
 
 def main() -> None:
-    import sys
+    import hashlib
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_scene
     from dimo_tpu.models.renderer import render, find_knn
 
-    check = selfcheck() if "--selfcheck" in sys.argv else {}
+    # selfcheck ALWAYS runs: the driver-captured JSON line is the round's
+    # evidence that the Mosaic-compiled kernels agree with the oracle ON
+    # THIS HARDWARE (round-2 verdict: builder-asserted numbers don't count).
+    check = selfcheck()
 
     cfg, params, aux, cam = _flagship_scene()
+    # scene identity: rounds are only comparable when this hash matches
+    # (round-2 lesson: a scene redesign muddied the 62->153 trend)
+    scene_hash = hashlib.sha256(
+        np.asarray(params.xyz).tobytes()
+        + np.asarray(params.scaling).tobytes()
+        + np.asarray(params.opacity).tobytes()).hexdigest()[:12]
     bg = jnp.ones((3,))
 
     # KNN cached once like the reference's test-time find_knn
     knn_cache = jax.jit(find_knn)(params, aux)
 
-    @jax.jit
-    def fwd(p, t):
-        out = render(cfg, p, aux, cam, t, "s2", 1, 512, 512, bg,
-                     knn_cache=knn_cache, capacity=1024, channels=3)
-        return out["image"]
+    def timed_fps(channels: int, rounds: int) -> float:
+        @jax.jit
+        def fwd(p, t):
+            out = render(cfg, p, aux, cam, t, "s2", 1, 512, 512, bg,
+                         knn_cache=knn_cache, capacity=1024,
+                         channels=channels)
+            return out["image"]
 
-    img = fwd(params, 0.0)
-    img.block_until_ready()
-
-    t0 = time.time()
-    for i in range(ROUNDS):
         img = fwd(params, 0.0)
-    img.block_until_ready()
-    t1 = time.time()
+        img.block_until_ready()
+        t0 = time.time()
+        for _ in range(rounds):
+            img = fwd(params, 0.0)
+        img.block_until_ready()
+        return rounds / (time.time() - t0)
 
-    fps = ROUNDS / (t1 - t0)
+    # rgb-only fast path (the reference test_fps consumes only .image) and
+    # the 7-channel figure the reference's default add_normal=True train
+    # path always pays (rgb+depth+normal FMAs)
+    fps = timed_fps(3, ROUNDS)
+    fps7 = timed_fps(7, ROUNDS // 2)
     print(json.dumps({
         "metric": "render_fps_512_s2_100k",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS_A100, 3),
+        "fps_ch7": round(fps7, 2),
+        "scene": f"shell-v2-{scene_hash}",
         **check,
     }))
 

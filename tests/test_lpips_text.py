@@ -51,6 +51,24 @@ class TestLPIPS:
         img = jnp.asarray(rng.rand(1, 3, 32, 32), jnp.float32)
         assert np.isfinite(float(fn(img, img)[0]))
 
+    def test_golden_vectors_match_torch_replica(self):
+        """Committed golden distances from an independent torch replica of
+        the richzhang LPIPS pipeline (scripts/make_lpips_golden.py) under
+        identical seeded weights: proves the jnp port's architecture —
+        padding, pool placement, taps, normalize, heads — numerically.
+        Trained weights remain env-blocked (zero egress); when they arrive
+        only the npz changes, not the proven pipeline."""
+        import os
+        path = os.path.join(os.path.dirname(__file__), "golden",
+                            "lpips_golden.npz")
+        with np.load(path) as z:
+            imgs1, imgs2, dist = z["imgs1"], z["imgs2"], z["dist"]
+        fn = lpips_mod.random_init_lpips(0)
+        got = np.asarray(fn(jnp.asarray(imgs1), jnp.asarray(imgs2)))
+        np.testing.assert_allclose(got, dist, atol=2e-5)
+        # sanity on the fixture itself: distance grows with perturbation
+        assert dist[0] == 0.0 and np.all(np.diff(dist) > 0)
+
     def test_missing_weights_disabled(self):
         assert lpips_mod.load_lpips("/nonexistent/w.npz") is None
 
