@@ -24,6 +24,10 @@ def main():
                     help="n_motions,n_views,n_frames")
     ap.add_argument("--lpips", action="store_true",
                     help="enable LPIPS with random-init weights (cost bench)")
+    ap.add_argument("--out", default="",
+                    help="write a committed JSON artifact (train_bench.json)")
+    ap.add_argument("--packer_probe", action="store_true",
+                    help="also time host batch assembly packer vs numpy")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_scene
@@ -85,6 +89,65 @@ def main():
     dt = (time.time() - t0) / args.steps
     print(f"steady step: {dt*1000:.1f} ms  ({1.0/dt:.2f} it/s)  "
           f"res={res} B={B} N={args.n_gauss}")
+
+    packer_ms = numpy_ms = None
+    if args.packer_probe:
+        packer_ms, numpy_ms = _packer_probe(n_motions, n_views, n_frames)
+        print(f"host batch assembly: packer {packer_ms:.2f} ms / "
+              f"numpy {numpy_ms:.2f} ms")
+
+    if args.out:
+        import json
+        artifact = {
+            "steady_step_ms": round(dt * 1000, 1),
+            "it_per_s": round(1.0 / dt, 3),
+            "res": res, "batch": [n_motions, n_views, n_frames],
+            "n_gauss": args.n_gauss, "tile_capacity": args.capacity,
+            "lpips": bool(args.lpips), "arap": not args.no_arap,
+            "guidance": not args.no_guidance,
+            "compile_s": None,
+            "host_batch_packer_ms": packer_ms,
+            "host_batch_numpy_ms": numpy_ms,
+            "backend": jax.default_backend(),
+            # dp=1 vs dp=8 equality is proven by tests/test_multichip.py
+            # (sharded == single-device) and MULTICHIP_r*.json
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print("wrote", args.out)
+
+
+def _packer_probe(n_motions, n_views, n_frames, ref_size=512, iters=30):
+    """Host-side batch-assembly latency: native double-buffered packer vs
+    one numpy fancy-index gather (the two sample_batch paths)."""
+    from dimo_tpu.train.loop import Trainer
+    from dimo_tpu.presets import tiny_synthetic_opt as tiny_opt
+
+    m, v, f = 4, n_views, n_frames
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (m, v, f, ref_size, ref_size, 3), np.uint8)
+    masks = rng.randint(0, 255, (m, v, f, ref_size, ref_size), np.uint8)
+    meta = {"input_videos": [f"m{i}" for i in range(m)],
+            "azimuths": list(np.linspace(0, 360, v, endpoint=False)),
+            "elevations": [0.0] * v}
+    opt = tiny_opt(batch_size=2, num_views=v, num_frames=f, ref_size=ref_size)
+    tr = Trainer(opt, images, masks, meta)
+
+    def loop():
+        t0 = time.time()
+        for _ in range(iters):
+            b, _ = tr.sample_batch()
+            np.asarray(b["gt_image"][0, 0, 0])   # force materialization
+        return (time.time() - t0) / iters * 1000
+
+    packer_ms = loop()
+    if getattr(tr, "_packer", None) is not None:
+        tr._packer.close()
+    tr._packer = None
+    tr._packer_b = len(tr._sample_meta()["times"])  # pin numpy path
+    tr._pending_meta = None
+    numpy_ms = loop()
+    return round(packer_ms, 2), round(numpy_ms, 2)
 
 
 if __name__ == "__main__":
