@@ -45,7 +45,7 @@ def selfcheck() -> dict:
     def run(fn):
         def loss(op):
             out = fn(means, scales, quats, op, sh, cam, W, H, bg,
-                     capacity=1024) if fn is rasterize else \
+                     capacity=512) if fn is rasterize else \
                   fn(means, scales, quats, op, sh, cam, W, H, bg)
             return jnp.sum(out.image ** 2), out.image
         (l, img), g = jax.value_and_grad(loss, has_aux=True)(opac)
@@ -89,7 +89,7 @@ def main() -> None:
         @jax.jit
         def fwd(p, t):
             out = render(cfg, p, aux, cam, t, "s2", 1, 512, 512, bg,
-                         knn_cache=knn_cache, capacity=1024,
+                         knn_cache=knn_cache, capacity=512,
                          channels=channels)
             return out["image"]
 

@@ -66,7 +66,7 @@ def render(
     override_color: jnp.ndarray | None = None,
     mean2d_tap: jnp.ndarray | None = None,
     local_frame: bool = True,
-    capacity: int = 1024,
+    capacity: int = 512,
     use_oracle: bool = False,
     channels: int = 7,
 ):

@@ -21,9 +21,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from dimo_tpu.ops.rasterizer import projection as proj_mod
-from dimo_tpu.ops.rasterizer import tiles as tiles_mod
-from dimo_tpu.ops.rasterizer.composite_pallas import composite, composite_infer
-from dimo_tpu.ops.rasterizer.gather import gather_rows
+from dimo_tpu.ops.rasterizer import strips as strips_mod
+from dimo_tpu.ops.rasterizer.composite_strips import (
+    composite_strips, composite_strips_infer)
 from dimo_tpu.ops.rasterizer.tiles import TILE_H, TILE_W
 
 
@@ -51,7 +51,7 @@ def rasterize(
     height: int,
     bg: jnp.ndarray,
     sh_degree: int = 0,
-    capacity: int = 1024,
+    capacity: int = 512,
     scale_modifier: float = 1.0,
     override_color: jnp.ndarray | None = None,
     valid: jnp.ndarray | None = None,
@@ -85,31 +85,34 @@ def rasterize(
         scale_vec = jnp.array([0.5 * width, 0.5 * height], means3d.dtype)
         mean2d = mean2d + mean2d_tap * scale_vec
 
-    h_pad = _round_up(height, TILE_H)
-    w_pad = _round_up(width, TILE_W)
+    h_pad = _round_up(height, strips_mod.STRIP_H)
+    w_pad = _round_up(width, strips_mod.BUF_W)
 
-    # a tile can never hold more entries than gaussians exist — clamping
-    # saves slab memory/compute for small scenes (and avoids exotic
-    # pad-capacity kernel shapes)
-    capacity = min(capacity, _round_up(means3d.shape[0], 8))
+    # `capacity` is the PER-PIXEL depth budget: a strip list holds up to
+    # `capacity` depth-ordered entries, exactly as a tile list used to —
+    # the same numeric capacity now buys 4x finer spatial granularity
+    # (at 512^2, 256 strips x capacity slots vs 64 tiles x capacity).
+    # Clamped: a strip can never hold more entries than gaussians exist.
+    cs = max(8, min(capacity, _round_up(means3d.shape[0], 8)))
 
-    lists = tiles_mod.build_tile_lists(
+    lists = strips_mod.build_strip_lists(
         lax.stop_gradient(mean2d), p.cull_radius, lax.stop_gradient(p.depth),
-        p.in_frustum, h_pad, w_pad, capacity)
+        p.in_frustum, h_pad, w_pad, cs)
 
-    attrs = tiles_mod.pack_attrs(
+    table = strips_mod.coef_table(
         mean2d, p.conic, opacities, p.color, p.depth, p.normal,
-        radius=p.cull_radius)
-    # gather with a scatter-free custom backward (see gather.py)
-    packed = gather_rows(attrs, lists.idx)          # (T, C, 16)
+        h_pad, w_pad)
+    bufs = strips_mod.build_buffers(table, lists, h_pad, w_pad)
 
-    counts = lists.count.reshape(h_pad // TILE_H, w_pad // TILE_W)
     if channels == 7:
-        out, tfin = composite(packed, counts, h_pad, w_pad)
+        out, tfin = composite_strips(bufs.slabs, bufs.count)
     else:
-        out, tfin = composite_infer(packed, counts, h_pad, w_pad, channels)
-    out = out[:, :height, :width]
-    tfin = tfin[:height, :width]
+        out, tfin = composite_strips_infer(bufs.slabs, bufs.count, channels)
+    planes = strips_mod.reassemble(
+        jnp.concatenate([out, tfin[None]], axis=0), bufs.order,
+        h_pad, w_pad)
+    out = planes[:-1, :height, :width]
+    tfin = planes[-1, :height, :width]
 
     zeros = jnp.zeros((1, height, width), out.dtype)
     image = out[0:3] + tfin[None] * bg[:, None, None]

@@ -1,0 +1,423 @@
+"""Strip-parallel Pallas compositing kernel with analytic custom VJP.
+
+Each grid step processes one chunk of G entry slots for ONE buffer = four
+32px strips sharing the 128-lane axis (see strips.py for binning/layout).
+Every serial blend step composites FOUR independent gaussians — one per
+strip — so per-entry pixel work is a (32,32) strip instead of the old
+(32,128) tile, at 1.39x entry duplication (measured): ~3x less plane math
+for the same image.
+
+Chunk math is three MXU stages, all exact-in-bf16 by construction:
+  1. X features:   X_yp = SL @ F_yp     (G, TW)  yp in {0,1,2}
+     SL = lane-stacked 3-term bf16 split of the four (G,16) coefficient
+     slabs; F_yp rows pick [x^2, x, 1] per quantity, strip-masked. Strip
+     coordinates are CENTER-local (|x|,|y| <= 16), so x^2 <= 256 and every
+     F entry is an exact bf16 integer.
+  2. y expansion:  power = M9 @ [stack3(X0); stack3(X1); stack3(X2)]
+     M9 (gb, 9G) carries one-hot row->entry replication weighted by
+     [1, y, y^2] (again exact bf16: y in [-16,15]); streamed in once as a
+     resident input, NOT rebuilt per grid step.
+  3. colors:       C_ch = SL @ Fc_ch    (G, TW)
+     per-channel strip-masked placement; the serial loop row-broadcasts
+     C_ch[j] — no (gb, TW) color planes are ever materialized.
+
+alpha = exp2(power) (coefficients are log2-scaled in strips.py): one
+transcendental per chunk. The serial front-to-back recurrence stays
+2 vector ops per slot (w = a*T; T -= w) + out_ch row-broadcast FMAs.
+
+The backward reconstructs transmittance by division from T_final like the
+CUDA rasterizer backward, replaying alpha through the SAME chunk helper
+(bit-identical values — a 1e-4 formula mismatch amplifies into O(1)
+gradient errors), and emits gradients w.r.t. the slab COEFFICIENT lanes
+only: the chain to mean2d/conic/opacity/colors runs through jnp autodiff
+of strips.coef_table/build_buffers.
+
+Reference parity: the compositing loop contract of
+/root/reference/renderer/latent_gs_renderer.py:1255-1277 (both CUDA
+rasterizers), including the per-pixel alpha clamps at 1/255 and 0.99.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dimo_tpu.ops.rasterizer.strips import (
+    BUF_W, COEF_DIM, S_PER_BUF, STRIP_H, STRIP_W,
+    C_A, C_D, C_F, C_B, C_E, C_C, C_R,
+)
+
+TH = STRIP_H
+OUT_CH = 7            # r g b depth nx ny nz (differentiable path)
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_MAX = 0.99
+LN2 = 0.6931471805599453
+
+G_FWD = int(os.environ.get("DIMO_SG_FWD", "64"))
+G_BWD = int(os.environ.get("DIMO_SG_BWD", "32"))
+
+
+def _interpret(which: str = "") -> bool:
+    forced = os.environ.get("DIMO_FORCE_INTERPRET", "")
+    if forced and (forced == "all" or which in forced.split(",")):
+        return True
+    return jax.default_backend() != "tpu"
+
+
+def _pick_g(cap: int, pref: int) -> int:
+    for g in (pref, 32, 16, 8, 4, 2, 1):
+        if g <= pref and cap % g == 0:
+            return g
+    return 1
+
+
+def _stack3(x, axis: int):
+    """Exact-sum 3-term bf16 split (~24 mantissa bits) stacked along `axis`
+    for contraction against a correspondingly tiled exact-bf16 matrix."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([h1, h2, h3], axis=axis)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
+
+
+def make_m9(g: int) -> jnp.ndarray:
+    """(gb, 9G) bf16: row (g*TH + y) -> one-hot of entry g in each of nine
+    G-column blocks, weighted [1,1,1, y,y,y, y^2,y^2,y^2] with center-local
+    y = row%TH - 16 (all integers <= 256: exact bf16). The triple repeat
+    per power matches the 3-term split row-stacking of the X planes."""
+    gb = g * TH
+    rowg = lax.broadcasted_iota(jnp.int32, (gb, g), 0) // TH
+    colg = lax.broadcasted_iota(jnp.int32, (gb, g), 1)
+    oh = (rowg == colg).astype(jnp.float32)
+    y = (lax.broadcasted_iota(jnp.int32, (gb, 1), 0) % TH - TH // 2
+         ).astype(jnp.float32)
+    blocks = [oh] * 3 + [oh * y] * 3 + [oh * y * y] * 3
+    return jnp.concatenate(blocks, axis=1).astype(jnp.bfloat16)
+
+
+def make_m9t3(g: int) -> jnp.ndarray:
+    """(3G, 3gb) bf16 backward reduction matrix: transpose of the SINGLE
+    per-y-power block structure [oh | oh*y | oh*y^2] (gb, 3G), tiled 3x
+    along the CONTRACTION axis only (for stack3(dpow)). The forward's M9
+    repeats each y-power block three times for the X-split row stacking —
+    reusing its transpose here would triple-count dX (round-3 bug)."""
+    gb = g * TH
+    rowg = lax.broadcasted_iota(jnp.int32, (gb, g), 0) // TH
+    colg = lax.broadcasted_iota(jnp.int32, (gb, g), 1)
+    oh = (rowg == colg).astype(jnp.float32)
+    y = (lax.broadcasted_iota(jnp.int32, (gb, 1), 0) % TH - TH // 2
+         ).astype(jnp.float32)
+    m3t = jnp.transpose(jnp.concatenate([oh, oh * y, oh * y * y], axis=1))
+    return jnp.concatenate([m3t] * 3, axis=1).astype(jnp.bfloat16)
+
+
+def _bwd_feat_mats():
+    """(3*BUF_W, 4*COEF_DIM) bf16 backward feature matrices: row x (tiled
+    3x for the dX split), lane s*16+q; entry = strip-masked feat_yp,q(x).
+    Single-block (NOT t-tiled) so d slab = dX @ Fb is counted once."""
+    rows = 3 * BUF_W
+    r = lax.broadcasted_iota(jnp.int32, (rows, 4 * COEF_DIM), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (rows, 4 * COEF_DIM), 1)
+    x = r % BUF_W
+    ss = lane // COEF_DIM
+    q = lane % COEF_DIM
+    on = (x // STRIP_W) == ss
+    xl = (x % STRIP_W - STRIP_W // 2).astype(jnp.float32)
+    zero = jnp.zeros_like(xl)
+
+    def mk(pairs):
+        f = zero
+        for qq, feat in pairs:
+            f = jnp.where(on & (q == qq), feat, f)
+        return f.astype(jnp.bfloat16)
+
+    fb0 = mk([(C_A, xl * xl), (C_D, xl), (C_F, 1.0)])
+    fb1 = mk([(C_B, xl), (C_E, 1.0)])
+    fb2 = mk([(C_C, 1.0)])
+    return fb0, fb1, fb2
+
+
+def _feat_mats(out_ch: int):
+    """Constant x-feature matrices, (3S*COEF_DIM, BUF_W) each.
+
+    Rows follow the SL lane layout s*48 + t*16 + q (strip-major, split-term,
+    quantity); lanes are pixels. Entries are strip-masked integer powers of
+    center-local x (exact bf16). F0/F1/F2 are the y^0/y^1/y^2 feature rows
+    of the power quadratic; Fc[ch] places channel ch's value per strip."""
+    rows = 3 * S_PER_BUF * COEF_DIM
+    row = lax.broadcasted_iota(jnp.int32, (rows, BUF_W), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (rows, BUF_W), 1)
+    ss = row // (3 * COEF_DIM)
+    q = row % COEF_DIM
+    on = (lane // STRIP_W) == ss
+    xl = (lane % STRIP_W - STRIP_W // 2).astype(jnp.float32)
+    zero = jnp.zeros_like(xl)
+
+    def mk(pairs):
+        f = zero
+        for qq, feat in pairs:
+            f = jnp.where(on & (q == qq), feat, f)
+        return f.astype(jnp.bfloat16)
+
+    f0 = mk([(C_A, xl * xl), (C_D, xl), (C_F, 1.0)])
+    f1 = mk([(C_B, xl), (C_E, 1.0)])
+    f2 = mk([(C_C, 1.0)])
+    fcs = [mk([(C_R + ch, 1.0)]) for ch in range(out_ch)]
+    return f0, f1, f2, fcs
+
+
+def _chunk_planes(slab_refs, m9, out_ch: int):
+    """Shared fwd/bwd chunk evaluation: (alpha, araw, C_ch list, SL).
+
+    slab_refs: four (G, 16) f32 coefficient slabs (one per strip).
+    Returns alpha/araw as (gb, TW) planes (row g*TH+y), colors as (G, TW)
+    rows to be row-broadcast per serial step."""
+    f0, f1, f2, fcs = _feat_mats(out_ch)
+    SL = jnp.concatenate([_stack3(s, axis=1) for s in slab_refs], axis=1)
+    x0 = _dot(SL, f0)                                        # (G, TW)
+    x1 = _dot(SL, f1)
+    x2 = _dot(SL, f2)
+    p9 = jnp.concatenate(
+        [_stack3(x0, axis=0), _stack3(x1, axis=0), _stack3(x2, axis=0)],
+        axis=0)                                              # (9G, TW) bf16
+    power = _dot(m9, p9)                                     # (gb, TW)
+    araw = jnp.exp2(power)
+    alpha = jnp.where(araw >= ALPHA_EPS, jnp.minimum(araw, ALPHA_MAX), 0.0)
+    cs = [_dot(SL, fc) for fc in fcs]                        # (G, TW) each
+    return alpha, araw, cs, SL
+
+
+def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, cnt_ref,
+                out_ref, tfin_ref, t_ref):
+    b = pl.program_id(0)
+    kk = pl.program_id(1)
+    count = cnt_ref[0, b]
+    active = kk * g < count
+
+    @pl.when(kk == 0)
+    def _init():
+        for ch in range(out_ch):
+            out_ref[ch] = jnp.zeros((TH, BUF_W), jnp.float32)
+        t_ref[...] = jnp.ones((TH, BUF_W), jnp.float32)
+
+    @pl.when(active)
+    def _blend():
+        alpha, _, cs, _ = _chunk_planes(
+            (s0[0], s1[0], s2[0], s3[0]), m9_ref[...], out_ch)
+        T = t_ref[...]
+        accs = [out_ref[ch] for ch in range(out_ch)]
+        for j in range(g):
+            a = alpha[j * TH:(j + 1) * TH, :]
+            w = a * T
+            for ch in range(out_ch):
+                accs[ch] = accs[ch] + cs[ch][j:j + 1, :] * w
+            T = T - w
+        for ch in range(out_ch):
+            out_ref[ch] = accs[ch]
+        t_ref[...] = T
+
+    @pl.when(kk == ncap - 1)
+    def _fin():
+        tfin_ref[...] = t_ref[...]
+
+
+def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
+                tfin_ref, cnt_ref, ds0, ds1, ds2, ds3,
+                gs_ref, t_ref, dpow_ref, w_ref):
+    gb = g * TH
+    b = pl.program_id(0)
+    kk = pl.program_id(1)
+    count = cnt_ref[0, b]
+    active = (ncap - 1 - kk) * g < count
+
+    gouts = [gout_ref[ch] for ch in range(OUT_CH)]
+
+    @pl.when(kk == 0)
+    def _init():
+        gtfin = gout_ref[OUT_CH]
+        tfin = tfin_ref[...]
+        gs_ref[...] = gtfin * tfin
+        t_ref[...] = tfin
+
+    for ref in (ds0, ds1, ds2, ds3):
+        ref[...] = jnp.zeros_like(ref)
+
+    @pl.when(active)
+    def _chunk_bwd():
+        slabs = (s0[0], s1[0], s2[0], s3[0])
+        alpha_all, araw_all, cs, SL = _chunk_planes(slabs, m9_ref[...],
+                                                    OUT_CH)
+        T_run = t_ref[...]
+        GS = gs_ref[...]
+        for j in reversed(range(g)):
+            sl = slice(j * TH, (j + 1) * TH)
+            a = alpha_all[sl, :]
+            ar = araw_all[sl, :]
+            inv_om = 1.0 / (1.0 - a)
+            T_i = T_run * inv_om
+            CG = gouts[0] * cs[0][j:j + 1, :]
+            for ch in range(1, OUT_CH):
+                CG = CG + gouts[ch] * cs[ch][j:j + 1, :]
+            dalpha = CG * T_i - GS * inv_om
+            gate = (ar >= ALPHA_EPS) & (ar < ALPHA_MAX)
+            d_araw = jnp.where(gate, dalpha, 0.0)
+            aw = a * T_i
+            # d power = d_araw * exp2(power) * ln2
+            dpow_ref[sl, :] = d_araw * ar * LN2
+            w_ref[sl, :] = aw
+            GS = GS + CG * aw
+            T_run = T_i
+        gs_ref[...] = GS
+        t_ref[...] = T_run
+
+        # --- batched dpower -> X -> slab-coefficient grads
+        dpow = dpow_ref[...]
+        dp3 = _dot(m9t3_ref[...], _stack3(dpow, axis=0))     # (3G, TW)
+        fb0, fb1, fb2 = _bwd_feat_mats()
+        dsl64 = jnp.zeros((g, 4 * COEF_DIM), jnp.float32)
+        for yp, fb in ((0, fb0), (1, fb1), (2, fb2)):
+            dx = dp3[yp * g:(yp + 1) * g]                    # (G, TW)
+            dsl64 = dsl64 + _dot(_stack3(dx, axis=1), fb)    # (G, 64)
+
+        # --- channel grads dc[g, ch, s] = sum_{y, x in s} w * grep_ch,
+        # with grep_ch (the y-expanded gout channel) recomputed per channel:
+        # one cheap (gb, 3TH)@(3TH, TW) matmul keeps only a single plane
+        # live instead of an OUT_CH*gb scratch (scoped-VMEM budget).
+        w = w_ref[...]
+        y1 = (lax.broadcasted_iota(jnp.int32, (gb, TH), 0) % TH
+              == lax.broadcasted_iota(jnp.int32, (gb, TH), 1)
+              ).astype(jnp.bfloat16)
+        y13 = jnp.concatenate([y1] * 3, axis=1)
+        ssel = ((lax.broadcasted_iota(jnp.int32, (BUF_W, 8), 1)
+                 == lax.broadcasted_iota(jnp.int32, (BUF_W, 8), 0)
+                 // STRIP_W)).astype(jnp.bfloat16)           # (TW, 8)
+        ssel3 = jnp.concatenate([ssel] * 3, axis=0)
+        ball = jnp.zeros((gb, 8 * OUT_CH), jnp.float32)
+        colb = lax.broadcasted_iota(jnp.int32, (gb, 8 * OUT_CH), 1)
+        for ch in range(OUT_CH):
+            grep = _dot(y13, _stack3(gouts[ch], axis=0))     # (gb, TW)
+            contrib = _dot(_stack3(w * grep, axis=1), ssel3)  # (gb, 8)
+            for s in range(S_PER_BUF):
+                ball = ball + jnp.where(colb == ch * 8 + s,
+                                        contrib[:, s:s + 1], 0.0)
+        rrepT = (lax.broadcasted_iota(jnp.int32, (g, gb), 0)
+                 == lax.broadcasted_iota(jnp.int32, (g, gb), 1) // TH
+                 ).astype(jnp.bfloat16)
+        rrepT3 = jnp.concatenate([rrepT] * 3, axis=1)
+        dc_all = _dot(rrepT3, _stack3(ball, axis=0))         # (G, 8*OUT_CH)
+
+        # --- assemble per-strip (G, 16) outputs: dsl64's strip slice holds
+        # the coefficient-lane grads (color lanes are zero there); add the
+        # channel grads into their lanes.
+        col16 = lax.broadcasted_iota(jnp.int32, (g, COEF_DIM), 1)
+        for s, dref in enumerate((ds0, ds1, ds2, ds3)):
+            acc = dsl64[:, s * COEF_DIM:(s + 1) * COEF_DIM]
+            for ch in range(OUT_CH):
+                acc = acc + jnp.where(col16 == C_R + ch,
+                                      dc_all[:, ch * 8 + s:ch * 8 + s + 1],
+                                      0.0)
+            dref[...] = acc[None]
+
+
+def _fwd_call(slabs, count, out_ch: int):
+    nb, cs, a = slabs[0].shape
+    assert a == COEF_DIM
+    g = _pick_g(cs, G_FWD)
+    ncap = cs // g
+    m9 = make_m9(g)
+    slab_spec = pl.BlockSpec((1, g, COEF_DIM), lambda b, kk: (b, kk, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, g, out_ch, ncap),
+        grid=(nb, ncap),
+        in_specs=[slab_spec] * 4 + [
+            pl.BlockSpec(m9.shape, lambda b, kk: (0, 0)),
+            pl.BlockSpec((1, nb), lambda b, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((out_ch, nb * TH, BUF_W), jnp.float32),
+            jax.ShapeDtypeStruct((nb * TH, BUF_W), jnp.float32),
+        ],
+        out_specs=[
+            pl.BlockSpec((out_ch, TH, BUF_W), lambda b, kk: (0, b, 0)),
+            pl.BlockSpec((TH, BUF_W), lambda b, kk: (b, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((TH, BUF_W), jnp.float32)],
+        interpret=_interpret("sfwd"),
+    )(*slabs, m9, count.reshape(1, nb))
+
+
+def _bwd_call(slabs, gout8, tfin, count):
+    nb, cs, _ = slabs[0].shape
+    g = _pick_g(cs, G_BWD)
+    ncap = cs // g
+    gb = g * TH
+    m9 = make_m9(g)
+    m9t3 = make_m9t3(g)
+    slab_spec = pl.BlockSpec((1, g, COEF_DIM),
+                             lambda b, kk: (b, ncap - 1 - kk, 0))
+    dslab_spec = pl.BlockSpec((1, g, COEF_DIM),
+                              lambda b, kk: (b, ncap - 1 - kk, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, g, ncap),
+        grid=(nb, ncap),
+        in_specs=[slab_spec] * 4 + [
+            pl.BlockSpec(m9.shape, lambda b, kk: (0, 0)),
+            pl.BlockSpec(m9t3.shape, lambda b, kk: (0, 0)),
+            pl.BlockSpec((OUT_CH + 1, TH, BUF_W), lambda b, kk: (0, b, 0)),
+            pl.BlockSpec((TH, BUF_W), lambda b, kk: (b, 0)),
+            pl.BlockSpec((1, nb), lambda b, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nb, cs, COEF_DIM), jnp.float32)
+                   ] * 4,
+        out_specs=[dslab_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((TH, BUF_W), jnp.float32),            # GS
+            pltpu.VMEM((TH, BUF_W), jnp.float32),            # running T
+            pltpu.VMEM((gb, BUF_W), jnp.float32),            # dpow
+            pltpu.VMEM((gb, BUF_W), jnp.float32),            # w
+        ],
+        interpret=_interpret("sbwd"),
+    )(*slabs, m9, m9t3, gout8, tfin, count.reshape(1, nb))
+
+
+def composite_strips_infer(slabs, count, out_ch: int = 3):
+    """Forward-only composite of the first out_ch channels. Returns
+    (out (out_ch, NB*32, 128), tfin (NB*32, 128)) in buffer-major layout
+    (reassemble with strips.reassemble)."""
+    return _fwd_call(tuple(slabs), count, out_ch)
+
+
+@jax.custom_vjp
+def composite_strips(slabs, count):
+    """Differentiable 7-channel strip composite (buffer-major outputs)."""
+    out, tfin = _fwd_call(tuple(slabs), count, OUT_CH)
+    return out, tfin
+
+
+def _cs_fwd(slabs, count):
+    out, tfin = _fwd_call(tuple(slabs), count, OUT_CH)
+    return (out, tfin), (tuple(slabs), tfin, count)
+
+
+def _cs_bwd(res, g):
+    slabs, tfin, count = res
+    gout, gtfin = g
+    gout8 = jnp.concatenate([gout, gtfin[None]], axis=0)
+    dslabs = _bwd_call(slabs, gout8, tfin, count)
+    return (tuple(dslabs), None)
+
+
+composite_strips.defvjp(_cs_fwd, _cs_bwd)

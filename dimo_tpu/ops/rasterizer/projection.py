@@ -170,13 +170,16 @@ def project(
 
     # Opacity-aware extent: the compositor zeroes alpha < 1/255, so pixels
     # beyond sqrt(2 ln(op/eps)) sigma contribute exactly nothing — culling
-    # there is LOSSLESS and shrinks per-tile lists (the CUDA rasterizers'
-    # same in-kernel threshold, applied at binning time instead). Always
-    # <= 3 sigma for op <= 1; op <= 1/255 is fully invisible.
+    # there is LOSSLESS and shrinks per-bin lists (the CUDA rasterizers'
+    # same in-kernel threshold, applied at binning time instead). The
+    # formula self-caps at sqrt(2 ln 255) ~ 3.33 sigma for op = 1; capping
+    # harder at 3.0 (as CUDA bins do) is NOT lossless for op > 0.353 —
+    # the 3..3.33 sigma annulus still has alpha >= 1/255 and its loss shows
+    # up as strip-boundary seams vs the dense oracle (round-3 lesson).
     alpha_eps = 1.0 / 255.0
     op = opacities[:, 0]
     tight = jnp.sqrt(2.0 * jnp.log(jnp.maximum(op, alpha_eps) / alpha_eps))
-    cull_radius = jnp.ceil(jnp.minimum(tight, 3.0) * sigma)
+    cull_radius = jnp.ceil(tight * sigma)
 
     ok = in_front & (det > 0.0)
     if valid is not None:

@@ -99,21 +99,30 @@ def _quantize_depth(depth, ok):
 
 def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
                      capacity: int) -> TileLists:
-    """Depth-ordered fixed-capacity per-tile Gaussian lists.
+    """Depth-ordered fixed-capacity per-tile Gaussian lists."""
+    nrows, ncols = num_tiles(height, width)
+    return build_bin_lists(mean2d, radius, depth, ok, nrows, ncols,
+                           TILE_H, TILE_W, capacity)
+
+
+def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
+                    bin_h: int, bin_w: int, capacity: int) -> TileLists:
+    """Depth-ordered fixed-capacity per-bin Gaussian lists over an
+    (nrows x ncols) grid of (bin_h x bin_w)-pixel bins — the tile path uses
+    (32, 128) bins, the strip compositor (strips.py) (32, 32).
 
     Args: mean2d (N,2) pixel coords, radius (N,) screen radius, depth (N,),
     ok (N,) bool. All non-differentiable (stop_gradient upstream).
     Returns indices in [0, N]; N is the "dummy" row (zero attributes).
     """
     n = depth.shape[0]
-    nrows, ncols = num_tiles(height, width)
     t = nrows * ncols
-    assert t < 512, (t, "tile-id field in the int32 sort key supports <512 tiles")
+    assert t < 512, (t, "bin-id field in the int32 sort key supports <512 bins")
 
-    cmin = jnp.floor((mean2d[:, 0] - radius) / TILE_W).astype(jnp.int32)
-    cmax = jnp.floor((mean2d[:, 0] + radius) / TILE_W).astype(jnp.int32)
-    rmin = jnp.floor((mean2d[:, 1] - radius) / TILE_H).astype(jnp.int32)
-    rmax = jnp.floor((mean2d[:, 1] + radius) / TILE_H).astype(jnp.int32)
+    cmin = jnp.floor((mean2d[:, 0] - radius) / bin_w).astype(jnp.int32)
+    cmax = jnp.floor((mean2d[:, 0] + radius) / bin_w).astype(jnp.int32)
+    rmin = jnp.floor((mean2d[:, 1] - radius) / bin_h).astype(jnp.int32)
+    rmax = jnp.floor((mean2d[:, 1] + radius) / bin_h).astype(jnp.int32)
 
     on_screen = (cmax >= 0) & (cmin <= ncols - 1) & (rmax >= 0) & (rmin <= nrows - 1)
     alive = ok & (radius > 0.0) & on_screen

@@ -34,7 +34,7 @@ def _jit_render(tr, stage, width, height, override_color=None,
     """Build a jitted (params, aux, cam, t, latent_index) -> outputs fn."""
     cfg = tr.mcfg
     bg = jnp.ones((3,))
-    capacity = int(tr.opt.get("tile_capacity", 1024))
+    capacity = int(tr.opt.get("tile_capacity", 512))
 
     if cpt_only:
         @jax.jit
@@ -112,7 +112,7 @@ def test_cpts(tr, test_stage: str = "s2", render_type: str = "fixed",
 
     cfg2, params2, aux2, act = cpt_model(tr)
     bg = jnp.ones((3,))
-    capacity = int(opt.get("tile_capacity", 1024))
+    capacity = int(opt.get("tile_capacity", 512))
     color = jnp.full((3,), 0.1, jnp.float32)
 
     @jax.jit
@@ -363,7 +363,7 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
         if shape_key not in step_fns:
             step_fns[shape_key] = make_train_step(
                 tr.mcfg, lcfg, "s2", res, res, 1, len(views), len(frames),
-                capacity=int(opt.get("tile_capacity", 1024)),
+                capacity=int(opt.get("tile_capacity", 512)),
                 lpips_fn=lpips_fn, trainable_groups=trainable)
         state, metrics = step_fns[shape_key](state, batch)
         if log_fn is not None:
@@ -452,7 +452,7 @@ def _finetune_cpt_only(tr, images, masks, iters, trainable):
         if shape_key not in step_fns:
             step_fns[shape_key] = make_train_step(
                 cfg2, lcfg, "s1", res, res, 1, len(views), len(frames),
-                capacity=int(opt.get("tile_capacity", 1024)),
+                capacity=int(opt.get("tile_capacity", 512)),
                 trainable_groups=trainable)
         state, metrics = step_fns[shape_key](state, batch)
     # graft the aligned latent + deformnet back into the full model
@@ -513,7 +513,7 @@ def run_test_fps(tr, rounds: int = 500, size: int = 512) -> float:
     # fps-path render: KNN cached across frames (the reference computes it
     # once at test time) and image-only compositing (channels=3)
     cfg, bg = tr.mcfg, jnp.ones((3,))
-    capacity = int(opt.get("tile_capacity", 1024))
+    capacity = int(opt.get("tile_capacity", 512))
     stage = opt.test_stage
     knn_cache = (jax.jit(find_knn)(tr.state.params, tr.state.aux)
                  if stage >= "s2" else None)

@@ -104,7 +104,7 @@ class Trainer:
         self._packer = None
         self._packer_b = None
         self._packer_pending = None
-        self.tile_capacity = int(opt.get("tile_capacity", 1024))
+        self.tile_capacity = int(opt.get("tile_capacity", 512))
         self._overflow_strikes = 0
 
         # data-parallel mesh (SURVEY section 2.3 obligation): batch sharded

@@ -149,7 +149,7 @@ def make_train_step(
     n_motions: int,
     n_views: int,
     n_frames: int,
-    capacity: int = 1024,
+    capacity: int = 512,
     use_oracle: bool = False,
     lpips_fn: Callable | None = None,
     use_guidance: bool = False,
