@@ -105,12 +105,11 @@ def rasterize(
     bufs = strips_mod.build_buffers(table, lists, h_pad, w_pad)
 
     if channels == 7:
-        out, tfin = composite_strips(bufs.slabs, bufs.count)
+        out8 = composite_strips(bufs.slabs, bufs.evalid, bufs.count)
     else:
-        out, tfin = composite_strips_infer(bufs.slabs, bufs.count, channels)
-    planes = strips_mod.reassemble(
-        jnp.concatenate([out, tfin[None]], axis=0), bufs.order,
-        h_pad, w_pad)
+        out8 = composite_strips_infer(bufs.slabs, bufs.evalid, bufs.count,
+                                      channels)
+    planes = strips_mod.reassemble(out8, bufs.order, h_pad, w_pad)
     out = planes[:-1, :height, :width]
     tfin = planes[-1, :height, :width]
 

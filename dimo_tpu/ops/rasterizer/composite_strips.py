@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dimo_tpu.ops.rasterizer.strips import (
     BUF_W, COEF_DIM, S_PER_BUF, STRIP_H, STRIP_W,
-    C_A, C_D, C_F, C_B, C_E, C_C, C_R,
+    C_A, C_D, C_F, C_B, C_E, C_C, C_R, C_HSC, C_HSR,
 )
 
 TH = STRIP_H
@@ -177,6 +177,48 @@ def _feat_mats(out_ch: int):
     return f0, f1, f2, fcs
 
 
+def _shift_slab(slab, sc, sr):
+    """Home-strip-frame (G,16) -> eval-strip-frame: Taylor shift of the
+    power quadratic by the integer frame offset (u, v) = 32*(eval - home).
+    sc/sr are the eval strip ids (SMEM scalars); home ids ride in lanes
+    C_HSC/C_HSR. Done IN-KERNEL ((G,1)-column ops) because restacking the
+    16 lanes on the XLA side measured ~0.5 ms/frame of concatenate/copy."""
+    col = lax.broadcasted_iota(jnp.int32, slab.shape, 1)
+    u = STRIP_W * (sc.astype(jnp.float32) - slab[:, C_HSC:C_HSC + 1])
+    v = STRIP_H * (sr.astype(jnp.float32) - slab[:, C_HSR:C_HSR + 1])
+    cA = slab[:, C_A:C_A + 1]
+    cB = slab[:, C_B:C_B + 1]
+    cC = slab[:, C_C:C_C + 1]
+    cD = slab[:, C_D:C_D + 1]
+    cE = slab[:, C_E:C_E + 1]
+    cF = slab[:, C_F:C_F + 1]
+    cD2 = cD + 2.0 * u * cA + v * cB
+    cE2 = cE + 2.0 * v * cC + u * cB
+    cF2 = cF + u * u * cA + u * v * cB + v * v * cC + u * cD + v * cE
+    out = jnp.where(col == C_D, cD2, slab)
+    out = jnp.where(col == C_E, cE2, out)
+    out = jnp.where(col == C_F, cF2, out)
+    return out, u, v
+
+
+def _unshift_grad(dsh, u, v):
+    """Transpose of _shift_slab's Jacobian: eval-frame slab grads (G,16)
+    -> home-frame lane grads; the (non-differentiable) id lanes get 0."""
+    col = lax.broadcasted_iota(jnp.int32, dsh.shape, 1)
+    dD = dsh[:, C_D:C_D + 1]
+    dE = dsh[:, C_E:C_E + 1]
+    dF = dsh[:, C_F:C_F + 1]
+    dA = dsh[:, C_A:C_A + 1] + 2.0 * u * dD + u * u * dF
+    dB = dsh[:, C_B:C_B + 1] + v * dD + u * dE + u * v * dF
+    dC = dsh[:, C_C:C_C + 1] + 2.0 * v * dE + v * v * dF
+    out = jnp.where(col == C_A, dA, dsh)
+    out = jnp.where(col == C_B, dB, out)
+    out = jnp.where(col == C_C, dC, out)
+    out = jnp.where(col == C_D, dD + u * dF, out)
+    out = jnp.where(col == C_E, dE + v * dF, out)
+    return jnp.where((col == C_HSC) | (col == C_HSR), 0.0, out)
+
+
 def _chunk_planes(slab_refs, m9, out_ch: int):
     """Shared fwd/bwd chunk evaluation: (alpha, araw, C_ch list, SL).
 
@@ -198,8 +240,8 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
     return alpha, araw, cs, SL
 
 
-def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, cnt_ref,
-                out_ref, tfin_ref, t_ref):
+def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, ev_ref, cnt_ref,
+                out_ref, t_ref):
     b = pl.program_id(0)
     kk = pl.program_id(1)
     count = cnt_ref[0, b]
@@ -213,8 +255,10 @@ def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, cnt_ref,
 
     @pl.when(active)
     def _blend():
-        alpha, _, cs, _ = _chunk_planes(
-            (s0[0], s1[0], s2[0], s3[0]), m9_ref[...], out_ch)
+        shifted = [
+            _shift_slab(s[0], ev_ref[b, j], ev_ref[b, S_PER_BUF + j])[0]
+            for j, s in enumerate((s0, s1, s2, s3))]
+        alpha, _, cs, _ = _chunk_planes(shifted, m9_ref[...], out_ch)
         T = t_ref[...]
         accs = [out_ref[ch] for ch in range(out_ch)]
         for j in range(g):
@@ -229,11 +273,13 @@ def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, cnt_ref,
 
     @pl.when(kk == ncap - 1)
     def _fin():
-        tfin_ref[...] = t_ref[...]
+        # final transmittance rides as the LAST output channel: one kernel
+        # output (out_ch+1 planes), no XLA-side concatenate
+        out_ref[out_ch] = t_ref[...]
 
 
 def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
-                tfin_ref, cnt_ref, ds0, ds1, ds2, ds3,
+                tfin_ref, ev_ref, cnt_ref, ds0, ds1, ds2, ds3,
                 gs_ref, t_ref, dpow_ref, w_ref):
     gb = g * TH
     b = pl.program_id(0)
@@ -255,7 +301,10 @@ def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
 
     @pl.when(active)
     def _chunk_bwd():
-        slabs = (s0[0], s1[0], s2[0], s3[0])
+        sh_uv = [
+            _shift_slab(s[0], ev_ref[b, j], ev_ref[b, S_PER_BUF + j])
+            for j, s in enumerate((s0, s1, s2, s3))]
+        slabs = tuple(x[0] for x in sh_uv)
         alpha_all, araw_all, cs, SL = _chunk_planes(slabs, m9_ref[...],
                                                     OUT_CH)
         T_run = t_ref[...]
@@ -319,7 +368,8 @@ def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
 
         # --- assemble per-strip (G, 16) outputs: dsl64's strip slice holds
         # the coefficient-lane grads (color lanes are zero there); add the
-        # channel grads into their lanes.
+        # channel grads, then chain back through the Taylor shift to the
+        # HOME-frame lanes the slab actually stores.
         col16 = lax.broadcasted_iota(jnp.int32, (g, COEF_DIM), 1)
         for s, dref in enumerate((ds0, ds1, ds2, ds3)):
             acc = dsl64[:, s * COEF_DIM:(s + 1) * COEF_DIM]
@@ -327,10 +377,10 @@ def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
                 acc = acc + jnp.where(col16 == C_R + ch,
                                       dc_all[:, ch * 8 + s:ch * 8 + s + 1],
                                       0.0)
-            dref[...] = acc[None]
+            dref[...] = _unshift_grad(acc, sh_uv[s][1], sh_uv[s][2])[None]
 
 
-def _fwd_call(slabs, count, out_ch: int):
+def _fwd_call(slabs, evalid, count, out_ch: int):
     nb, cs, a = slabs[0].shape
     assert a == COEF_DIM
     g = _pick_g(cs, G_FWD)
@@ -342,23 +392,21 @@ def _fwd_call(slabs, count, out_ch: int):
         grid=(nb, ncap),
         in_specs=[slab_spec] * 4 + [
             pl.BlockSpec(m9.shape, lambda b, kk: (0, 0)),
+            pl.BlockSpec((nb, 2 * S_PER_BUF), lambda b, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nb), lambda b, kk: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((out_ch, nb * TH, BUF_W), jnp.float32),
-            jax.ShapeDtypeStruct((nb * TH, BUF_W), jnp.float32),
-        ],
-        out_specs=[
-            pl.BlockSpec((out_ch, TH, BUF_W), lambda b, kk: (0, b, 0)),
-            pl.BlockSpec((TH, BUF_W), lambda b, kk: (b, 0)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((out_ch + 1, nb * TH, BUF_W),
+                                       jnp.float32),
+        out_specs=pl.BlockSpec((out_ch + 1, TH, BUF_W),
+                               lambda b, kk: (0, b, 0)),
         scratch_shapes=[pltpu.VMEM((TH, BUF_W), jnp.float32)],
         interpret=_interpret("sfwd"),
-    )(*slabs, m9, count.reshape(1, nb))
+    )(*slabs, m9, evalid, count.reshape(1, nb))
 
 
-def _bwd_call(slabs, gout8, tfin, count):
+def _bwd_call(slabs, gout8, tfin, evalid, count):
     nb, cs, _ = slabs[0].shape
     g = _pick_g(cs, G_BWD)
     ncap = cs // g
@@ -377,6 +425,8 @@ def _bwd_call(slabs, gout8, tfin, count):
             pl.BlockSpec(m9t3.shape, lambda b, kk: (0, 0)),
             pl.BlockSpec((OUT_CH + 1, TH, BUF_W), lambda b, kk: (0, b, 0)),
             pl.BlockSpec((TH, BUF_W), lambda b, kk: (b, 0)),
+            pl.BlockSpec((nb, 2 * S_PER_BUF), lambda b, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nb), lambda b, kk: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -390,34 +440,32 @@ def _bwd_call(slabs, gout8, tfin, count):
             pltpu.VMEM((gb, BUF_W), jnp.float32),            # w
         ],
         interpret=_interpret("sbwd"),
-    )(*slabs, m9, m9t3, gout8, tfin, count.reshape(1, nb))
+    )(*slabs, m9, m9t3, gout8, tfin, evalid, count.reshape(1, nb))
 
 
-def composite_strips_infer(slabs, count, out_ch: int = 3):
+def composite_strips_infer(slabs, evalid, count, out_ch: int = 3):
     """Forward-only composite of the first out_ch channels. Returns
-    (out (out_ch, NB*32, 128), tfin (NB*32, 128)) in buffer-major layout
-    (reassemble with strips.reassemble)."""
-    return _fwd_call(tuple(slabs), count, out_ch)
+    (out_ch+1, NB*32, 128) buffer-major planes — the LAST channel is the
+    final transmittance (reassemble with strips.reassemble)."""
+    return _fwd_call(tuple(slabs), evalid, count, out_ch)
 
 
 @jax.custom_vjp
-def composite_strips(slabs, count):
-    """Differentiable 7-channel strip composite (buffer-major outputs)."""
-    out, tfin = _fwd_call(tuple(slabs), count, OUT_CH)
-    return out, tfin
+def composite_strips(slabs, evalid, count):
+    """Differentiable 7-channel strip composite; returns (OUT_CH+1,
+    NB*32, 128) buffer-major planes, last channel = T_final."""
+    return _fwd_call(tuple(slabs), evalid, count, OUT_CH)
 
 
-def _cs_fwd(slabs, count):
-    out, tfin = _fwd_call(tuple(slabs), count, OUT_CH)
-    return (out, tfin), (tuple(slabs), tfin, count)
+def _cs_fwd(slabs, evalid, count):
+    out8 = _fwd_call(tuple(slabs), evalid, count, OUT_CH)
+    return out8, (tuple(slabs), out8[OUT_CH], evalid, count)
 
 
-def _cs_bwd(res, g):
-    slabs, tfin, count = res
-    gout, gtfin = g
-    gout8 = jnp.concatenate([gout, gtfin[None]], axis=0)
-    dslabs = _bwd_call(slabs, gout8, tfin, count)
-    return (tuple(dslabs), None)
+def _cs_bwd(res, gout8):
+    slabs, tfin, evalid, count = res
+    dslabs = _bwd_call(slabs, gout8, tfin, evalid, count)
+    return (tuple(dslabs), None, None)
 
 
 composite_strips.defvjp(_cs_fwd, _cs_bwd)

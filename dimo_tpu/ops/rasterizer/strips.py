@@ -115,51 +115,33 @@ def coef_table(mean2d, conic, opacity, color, depth, normal,
 
 
 class StripBuffers(NamedTuple):
-    slabs: tuple          # S_PER_BUF arrays (NB, CS, 16) eval-local coeffs
+    slabs: tuple          # S_PER_BUF arrays (NB, CS, 16) HOME-local coeffs
+    evalid: jnp.ndarray   # (NB, 2*S_PER_BUF) int32 [eval cols | eval rows]
     count: jnp.ndarray    # (NB,) int32 chunk-loop bound (max of the group)
     order: jnp.ndarray    # (Ns,) strip id at each (buffer, lane-slot)
 
 
 def build_buffers(table: jnp.ndarray, lists: StripLists, height: int,
                   width: int) -> StripBuffers:
-    """Gather + shift table rows into count-balanced 4-strip buffers."""
+    """Gather table rows into count-balanced 4-strip buffers.
+
+    Slab rows stay in their HOME-strip frame: the kernel applies the
+    Taylor shift to each evaluating strip's frame itself (a handful of
+    (G,1)-column ops) using the per-(buffer, lane-slot) eval strip ids —
+    restacking 16 lanes per slab on the XLA side measured ~0.5 ms/frame
+    of pure concatenate/copy traffic."""
     nrows, ncols = num_strips(height, width)
     ns = nrows * ncols
     cs = lists.idx.shape[1]
     counts = jnp.minimum(lists.count, cs)
     order = jnp.argsort(-counts).astype(jnp.int32)                 # (Ns,)
     order4 = order.reshape(ns // S_PER_BUF, S_PER_BUF)
-    slabs = []
-    bufc = None
-    for j in range(S_PER_BUF):
-        sids = order4[:, j]                                        # (NB,)
-        rows = gather_rows(table, lists.idx[sids])                 # (NB,CS,16)
-        # Taylor shift home-local -> eval-strip-local: x_h = x_e + u.
-        # u/v are integer frame offsets — stop_gradient keeps autodiff from
-        # chasing them into the (non-differentiable) home-id lanes.
-        u = lax.stop_gradient(
-            STRIP_W * ((sids % ncols).astype(table.dtype)[:, None]
-                       - rows[..., C_HSC]))
-        v = lax.stop_gradient(
-            STRIP_H * ((sids // ncols).astype(table.dtype)[:, None]
-                       - rows[..., C_HSR]))
-        cA, cB, cC = rows[..., C_A], rows[..., C_B], rows[..., C_C]
-        cD, cE, cF = rows[..., C_D], rows[..., C_E], rows[..., C_F]
-        cD2 = cD + 2.0 * u * cA + v * cB
-        cE2 = cE + 2.0 * v * cC + u * cB
-        cF2 = (cF + u * u * cA + u * v * cB + v * v * cC
-               + u * cD + v * cE)
-        zero = jnp.zeros_like(u)
-        slab = jnp.stack(
-            [cA, cB, cC, cD2, cE2, cF2,
-             rows[..., C_R], rows[..., C_G], rows[..., C_B2],
-             rows[..., C_DEPTH],
-             rows[..., C_NX], rows[..., C_NY], rows[..., C_NZ],
-             zero, zero, zero], axis=-1)
-        slabs.append(slab)
-        cj = counts[sids]
-        bufc = cj if bufc is None else jnp.maximum(bufc, cj)
-    return StripBuffers(slabs=tuple(slabs), count=bufc, order=order)
+    slabs = tuple(gather_rows(table, lists.idx[order4[:, j]])
+                  for j in range(S_PER_BUF))
+    bufc = jnp.max(counts[order4], axis=1)
+    evalid = jnp.concatenate([order4 % ncols, order4 // ncols], axis=1)
+    return StripBuffers(slabs=slabs, evalid=evalid.astype(jnp.int32),
+                        count=bufc, order=order)
 
 
 def reassemble(planes: jnp.ndarray, order: jnp.ndarray, height: int,

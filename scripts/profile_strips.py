@@ -57,32 +57,31 @@ def buffers_only(table, L):
 
 
 @jax.jit
-def comp3(slabs, count):
-    return composite_strips_infer(slabs, count, 3)
+def comp3(slabs, evalid, count):
+    return composite_strips_infer(slabs, evalid, count, 3)
 
 
 @jax.jit
-def comp7(slabs, count):
-    return composite_strips_infer(slabs, count, 7)
+def comp7(slabs, evalid, count):
+    return composite_strips_infer(slabs, evalid, count, 7)
 
 
 @jax.jit
-def comp_diff(slabs, count):
-    return composite_strips(slabs, count)
+def comp_diff(slabs, evalid, count):
+    return composite_strips(slabs, evalid, count)
 
 
 @jax.jit
-def comp_grad(slabs, count):
+def comp_grad(slabs, evalid, count):
     def loss(s):
-        out, tfin = composite_strips(s, count)
-        return jnp.sum(out ** 2) + jnp.sum(tfin ** 2)
+        out8 = composite_strips(s, evalid, count)
+        return jnp.sum(out8 ** 2)
     return jax.grad(loss)(slabs)
 
 
 @jax.jit
-def reasm(out, tfin, order):
-    return SM.reassemble(jnp.concatenate([out, tfin[None]], axis=0),
-                         order, H, W)
+def reasm(out8, order):
+    return SM.reassemble(out8, order, H, W)
 
 
 @jax.jit
@@ -121,11 +120,11 @@ print(f"  strip counts: mean {counts.mean():.0f} max {counts.max()} "
 bc = np.asarray(bufs.count)
 print(f"  buffer chunk bound: mean {bc.mean():.0f} sum/64 "
       f"{np.ceil(bc/64).sum():.0f} chunks")
-o3 = bench(comp3, bufs.slabs, bufs.count, label="composite ch3")
-o7 = bench(comp7, bufs.slabs, bufs.count, label="composite ch7")
-od = bench(comp_diff, bufs.slabs, bufs.count, label="composite ch7 (vjp fwd)")
-gd = bench(comp_grad, bufs.slabs, bufs.count, n=10, label="composite grad (fwd+bwd)")
-bench(reasm, o3[0], o3[1], bufs.order, label="reassemble")
+o3 = bench(comp3, bufs.slabs, bufs.evalid, bufs.count, label="composite ch3")
+o7 = bench(comp7, bufs.slabs, bufs.evalid, bufs.count, label="composite ch7")
+od = bench(comp_diff, bufs.slabs, bufs.evalid, bufs.count, label="composite ch7 (vjp fwd)")
+gd = bench(comp_grad, bufs.slabs, bufs.evalid, bufs.count, n=10, label="composite grad (fwd+bwd)")
+bench(reasm, o3, bufs.order, label="reassemble")
 img = bench(full_render3, params, 0.0, n=50, label="FULL render ch3")
 bench(full_render7, params, 0.0, n=50, label="FULL render ch7")
 

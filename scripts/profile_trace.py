@@ -23,7 +23,7 @@ CH = int(os.environ.get("DIMO_PROF_CH", "3"))
 @jax.jit
 def fwd(p, t):
     out = render(cfg, p, aux, cam, t, "s2", 1, 512, 512, bg,
-                 knn_cache=knn_cache, capacity=1024, channels=CH)
+                 knn_cache=knn_cache, capacity=512, channels=CH)
     return out["image"]
 
 
