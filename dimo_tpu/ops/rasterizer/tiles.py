@@ -4,32 +4,29 @@ TPU-native replacement for the CUDA rasterizers' duplicate+radix-sort tile
 binning. Design constraints that shaped it (measured on v5e, see
 scripts/bench_tilelists.py): XLA scatter serializes (35ms), (T,N) top_k is
 sort-bound (7-12ms), binary-search compaction pays 17 serialized gather
-rounds (13ms). The winning formulation mirrors the CUDA duplicate+sort idea
-but with BOUNDED duplication and no scatter:
+rounds (13ms). The winning formulation mirrors the CUDA duplicate+sort
+idea with BOUNDED duplication and no scatter:
 
-  * each "small" gaussian (bbox within a KR x KC tile footprint — the vast
-    majority in trained scenes) emits exactly ONE (tile||quantized-depth,
-    index||spill-flags) int32 key pair at its HOME tile (rmin, cmin); ONE
-    global lax.sort of N pairs orders them by tile then depth;
-  * per-tile segments are located with a searchsorted over the sorted keys;
-    each tile reads its own segment plus the segments of its left / upper /
-    upper-left neighbors, keeping neighbor entries whose packed spill flags
-    say the bbox crosses into this tile — row/column spill is resolved at
-    merge time instead of by key duplication, which shrinks the dominant
-    global sort 4x (the previous 4-slot duplicate scheme sorted 4N keys,
-    ~60% of them sentinels);
-  * rare oversized gaussians are compacted globally with a 1-D top_k;
-  * the <=4C+Kb per-tile candidates merge by depth with one row sort.
-
-  Truncation semantics under overflow: each source segment contributes its
-  nearest `capacity` entries, so a tile whose NEIGHBOR's segment overflows
-  can lose spill entries ranked beyond capacity there even if its own list
-  has room. The exact per-tile totals (bbox-overlap counts) still flag the
-  neighbor overflow, so the trainer's adaptive capacity doubling restores
-  the lossless regime.
+  * each "small" gaussian (bbox within a KR x KC bin footprint — the vast
+    majority in trained scenes) emits one (bin||quantized-depth, index)
+    int32 key pair PER OVERLAPPED BIN (sentinel keys for footprint slots
+    its bbox doesn't reach); ONE global lax.sort of KR*KC*N pairs makes
+    every bin's segment depth-complete — TPU pair sorts are cheap enough
+    (~0.03 ms at 400k) that duplicate keys beat the round-2 home-bin-sort
+    + 4-neighbor-window spill merge, whose masked window readouts and
+    (T, 4C+Kb) merge row-sort dominated the stage;
+  * per-bin segments are located with a searchsorted over the sorted keys
+    and read out with ONE contiguous window gather per bin;
+  * rare oversized gaussians are compacted globally with a 1-D top_k and
+    merged by depth with one (T, C+Kb) row sort;
+  * per-bin totals are exact (segment lengths), so truncation under
+    overflow keeps each bin's NEAREST `capacity` entries — no neighbor-
+    truncation quirk — and the trainer's adaptive capacity doubling
+    restores the lossless regime.
 
 Tiles are (TILE_H, TILE_W) = (32, 128) pixels — the TPU-friendly shape whose
-last dim fills all 128 vector lanes (vs CUDA's 16x16 thread blocks).
+last dim fills all 128 vector lanes (vs CUDA's 16x16 thread blocks); the
+strip compositor (strips.py) uses the same machinery at (32, 32).
 """
 from __future__ import annotations
 
@@ -62,8 +59,7 @@ DUP_KC = 2
 DEPTH_BITS = 22
 DEPTH_MAX = (1 << DEPTH_BITS) - 1
 
-# gaussian-index bits in the packed sort VALUE word; bits GID_BITS and
-# GID_BITS+1 carry the row/column spill flags
+# gaussian-index bits in the packed sort VALUE word
 GID_BITS = 25
 
 # Packed attribute channel layout (lane-padded to 16)
@@ -137,57 +133,41 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     small = alive & (cmax - cmin < DUP_KC) & (rmax - rmin < DUP_KR)
     big = alive & ~small
 
-    # --- small path: ONE entry per gaussian at its home tile (rmin, cmin),
-    # spill flags packed into the value word; one global sort of N pairs.
+    # --- small path: one (bin||depth, gid) key pair per overlapped bin
+    # (<= KR*KC, sentinels elsewhere), built as FLAT (N,) arrays — building
+    # keys as one (N,KR,KC) array measured ~10x slower (minor dims of 2-4
+    # are pathological lane layouts). One global sort of KR*KC*N pairs.
     assert n < (1 << GID_BITS), (n, "gid field in the packed value word")
     sentinel = jnp.iinfo(jnp.int32).max
-    key = jnp.where(small, ((rmin * ncols + cmin) << DEPTH_BITS) | dq,
-                    sentinel)
-    val = (gid
-           | ((rmax > rmin).astype(jnp.int32) << GID_BITS)
-           | ((cmax > cmin).astype(jnp.int32) << (GID_BITS + 1)))
-    skey, sval = jax.lax.sort((key, val), num_keys=1)
+    rspan = rmax > rmin
+    cspan = cmax > cmin
+    keys, vals = [], []
+    for dr in range(DUP_KR):
+        for dc in range(DUP_KC):
+            need = small
+            if dr:
+                need = need & rspan
+            if dc:
+                need = need & cspan
+            b = (rmin + dr) * ncols + (cmin + dc)
+            keys.append(jnp.where(need, (b << DEPTH_BITS) | dq, sentinel))
+            vals.append(gid)
+    skey, sval = jax.lax.sort(
+        (jnp.concatenate(keys), jnp.concatenate(vals)), num_keys=1)
+    nd = skey.shape[0]
 
     tile_base = jnp.arange(t, dtype=jnp.int32) << DEPTH_BITS
     starts = jnp.searchsorted(skey, tile_base)                          # (T,)
     ends = jnp.searchsorted(skey, tile_base + (1 << DEPTH_BITS))
-    # ONE row gather of (key,val) pairs per source: two scalar-element
+    seg_len = ends - starts                                             # (T,)
+    # ONE row gather of (key,val) pairs per bin window: two scalar-element
     # gathers cost ~60% more than one 8-byte-row gather (measured)
-    pairs = jnp.stack([skey, sval], axis=1)                             # (N, 2)
-    tid = jnp.arange(t, dtype=jnp.int32)
-    has_left = (tid % ncols) > 0
-    has_up = tid >= ncols
-    arangec = jnp.arange(capacity, dtype=jnp.int32)[None]
-    # (source tile offset, does-source-exist mask, which spill flag admits).
-    # Neighbor windows must cover the FULL capacity: spill entries sit at
-    # arbitrary depth ranks inside a neighbor's segment, so a shorter scan
-    # window would silently miss them even when nothing is over capacity.
-    sources = [
-        (0, None, None),                    # home: always included
-        (1, has_left, "c"),                 # left neighbor, col spill
-        (ncols, has_up, "r"),               # upper neighbor, row spill
-        (ncols + 1, has_left & has_up, "rc")]
-    dq_parts, idx_parts = [], []
-    for delta, src_ok, need in sources:
-        src = jnp.maximum(tid - delta, 0)
-        offs = starts[src][:, None] + arangec                           # (T, C)
-        inc = offs < ends[src][:, None]
-        if src_ok is not None:
-            inc = inc & src_ok[:, None]
-        rows = pairs[jnp.minimum(offs, n - 1)]                          # (T,C,2)
-        v = rows[..., 1]
-        if need == "c":
-            inc = inc & ((v >> (GID_BITS + 1)) & 1).astype(bool)
-        elif need == "r":
-            inc = inc & ((v >> GID_BITS) & 1).astype(bool)
-        elif need == "rc":
-            inc = inc & ((v >> GID_BITS) & 1).astype(bool) \
-                      & ((v >> (GID_BITS + 1)) & 1).astype(bool)
-        dq_parts.append(jnp.where(inc, rows[..., 0] & DEPTH_MAX,
-                                  DEPTH_MAX + 1))
-        idx_parts.append(jnp.where(inc, v & ((1 << GID_BITS) - 1), n))
-    small_dq = jnp.concatenate(dq_parts, axis=1)                        # (T,4C)
-    small_idx = jnp.concatenate(idx_parts, axis=1)
+    pairs = jnp.stack([skey, sval], axis=1)                             # (ND,2)
+    offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
+    inc = offs < ends[:, None]                                          # (T,C)
+    rows = pairs[jnp.minimum(offs, nd - 1)]                             # (T,C,2)
+    small_dq = jnp.where(inc, rows[..., 0] & DEPTH_MAX, DEPTH_MAX + 1)
+    small_idx = jnp.where(inc, rows[..., 1], n)
 
     # --- big path: compact the (rare) oversized gaussians globally first.
     # k is NOT tied to the per-tile capacity: undersizing it drops whole
@@ -206,7 +186,7 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     big_dq_t = jnp.where(ovb, big_dq_sel[None, :], DEPTH_MAX + 1)       # (T,Kb)
     big_idx = jnp.where(ovb, big_i[None, :], n)
 
-    # --- merge by depth per tile (row sort over 4C + Kb columns)
+    # --- merge by depth per tile (row sort over C + Kb columns)
     mk = jnp.concatenate([small_dq, big_dq_t], axis=1)
     mv = jnp.concatenate([small_idx, big_idx], axis=1)
     mk, mv = jax.lax.sort((mk, mv), num_keys=1, dimension=1)
@@ -214,14 +194,9 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     valid_slot = mk[:, :capacity] <= DEPTH_MAX
 
     count = jnp.sum(valid_slot.astype(jnp.int32), axis=1)
-    # exact per-tile totals from bbox overlap (catches neighbor-segment
-    # truncation, which the kept-slot count alone cannot see)
-    tr_all = (tid // ncols)[None, :]                                    # (1,T)
-    tc_all = (tid % ncols)[None, :]
-    cover = (alive[:, None]
-             & (tr_all >= rmin[:, None]) & (tr_all <= rmax[:, None])
-             & (tc_all >= cmin[:, None]) & (tc_all <= cmax[:, None]))
-    per_tile_total = jnp.sum(cover.astype(jnp.int32), axis=0)           # (T,)
+    # exact per-tile totals: duplicate keys make the small segment lengths
+    # exact; big-path overlaps come from the (T, Kb) matrix
+    per_tile_total = seg_len + jnp.sum(ovb.astype(jnp.int32), axis=1)
     overflow = jnp.sum(jnp.maximum(per_tile_total - capacity, 0))
     n_big = jnp.sum(big.astype(jnp.int32))
     overflow = overflow + jnp.maximum(n_big - k_big, 0)

@@ -27,6 +27,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="shorter schedule (CI-ish smoke; no gate)")
+    ap.add_argument("--scale512", action="store_true",
+                    help="reference-scale run: 512^2, 8 motions, >=50k "
+                         "gaussians, full s1+s2 schedule (hours on TPU)")
+    ap.add_argument("--iters", default=None,
+                    help="override schedule as S1,S2 (e.g. 1400,5000)")
+    ap.add_argument("--no-lpips", action="store_true",
+                    help="disable the LPIPS term (fallback A/B, VERDICT r2 #4)")
     ap.add_argument("--out", default="eval_quality.json")
     ap.add_argument("--videos", default="/tmp/eval_quality_videos")
     args = ap.parse_args()
@@ -39,25 +46,50 @@ def main():
     from dimo_tpu.models.lpips import get_lpips
     from dimo_tpu import test_modes
 
-    M, V, F, S = 3, 4, 7, 256
+    if args.scale512:
+        # Reference-scale gate (VERDICT r2 #3): 512^2 ref_size
+        # (run_train_latent.sh:27-28), >=8 motions, 256 cpts x 200 pts/cpt
+        # = 51,200 stage-2 gaussians, full two-stage schedule
+        # (run_train_latent.sh:12-13 scaled to the synthetic set's size).
+        M, V, F, S = 8, 4, 7, 512
+    else:
+        M, V, F, S = 3, 4, 7, 256
     images, masks, meta = make_synthetic_videos(
         num_motions=M, num_views=V, num_frames=F, ref_size=S, n_gauss=150,
         seed=0)
 
-    iters_s1, iters_s2 = (120, 60) if args.fast else (700, 500)
-    opt = tiny_opt(
+    if args.scale512:
+        iters_s1, iters_s2 = 2800, 10000
+    else:
+        iters_s1, iters_s2 = (120, 60) if args.fast else (700, 500)
+    if args.iters:
+        iters_s1, iters_s2 = (int(x) for x in args.iters.split(","))
+    common = dict(
         ref_size=S, W=S, H=S, num_views=V, num_frames=F,
-        batch_size=2, latent_code_dim=16,
-        iters_s1=iters_s1, iters_s2=iters_s2,
-        num_pts=256, num_cpts=96, capacity_s1=2048, tile_capacity=512,
-        num_pts_per_cpt=128,                      # 96*128 = 12,288 gaussians
-        density_start_iter=100, density_end_iter=500,
-        densification_interval=100, FPS_iter=200,
-        arap_start_iter_s1=300, arap_end_iter_s2=200,
+        batch_size=2, iters_s1=iters_s1, iters_s2=iters_s2,
         save_path="/tmp/eval_quality_run",
         video_save_dir=args.videos,
     )
-    lpips_fn = get_lpips("weights/lpips_vgg.npz", fallback="random")
+    if args.scale512:
+        opt = tiny_opt(
+            latent_code_dim=32,
+            num_pts=512, num_cpts=256, capacity_s1=2048, tile_capacity=1024,
+            num_pts_per_cpt=200,                  # 256*200 = 51,200 gaussians
+            density_start_iter=100, density_end_iter=2500,
+            densification_interval=100, FPS_iter=200,
+            arap_start_iter_s1=2000, arap_end_iter_s2=5000,
+            **common)
+    else:
+        opt = tiny_opt(
+            latent_code_dim=16,
+            num_pts=256, num_cpts=96, capacity_s1=2048, tile_capacity=512,
+            num_pts_per_cpt=128,                  # 96*128 = 12,288 gaussians
+            density_start_iter=100, density_end_iter=500,
+            densification_interval=100, FPS_iter=200,
+            arap_start_iter_s1=300, arap_end_iter_s2=200,
+            **common)
+    lpips_fn = None if args.no_lpips else \
+        get_lpips("weights/lpips_vgg.npz", fallback="random")
 
     tr = Trainer(opt, images, masks, meta)
     t0 = time.time()
@@ -108,8 +140,11 @@ def main():
         "motions": M,
         "iters": [iters_s1, iters_s2],
         "train_seconds": round(train_s, 1),
+        "sec_per_step": round(train_s / (iters_s1 + iters_s2), 3),
+        "lpips": not args.no_lpips,
         "videos_ok": videos_ok,
         "fast": args.fast,
+        "scale512": args.scale512,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
