@@ -68,7 +68,7 @@ def num_strips(height: int, width: int) -> tuple[int, int]:
 def build_strip_lists(mean2d, radius, depth, ok, height: int, width: int,
                       capacity: int) -> StripLists:
     """Depth-ordered fixed-capacity per-strip entry lists (same
-    home-bin-sort + neighbor-spill-merge machinery as the tile binning,
+    per-overlapped-bin duplicate-key sort machinery as the tile binning,
     at 32x32 granularity)."""
     nrows, ncols = num_strips(height, width)
     lists = tiles_mod.build_bin_lists(mean2d, radius, depth, ok,
