@@ -37,11 +37,11 @@ import jax.numpy as jnp
 
 import os
 
-# Tile height is a measured tradeoff that SHIFTED with the binning design:
-# under the old duplicate-key sort, 16px rows lost (duplication inflated the
-# dominant global sort); under the home-tile sort + neighbor merge the sort
-# is per-gaussian, so shorter tiles cut compositor pixel-work ~linearly
-# while only the (cheap) merge widens. Env knob for on-hardware sweeps.
+# Tile height is a measured tradeoff (see CLAUDE.md round-2 notes: 16px
+# rows lose — per-tile candidate entries grow 1.85x while pixel work
+# halves; 8px rows misclassify trained-scene radii into the capped big
+# path). Env knob for on-hardware sweeps; the product path composites
+# 32x32 strips (strips.py) built by the same build_bin_lists.
 TILE_H = int(os.environ.get("DIMO_TILE_H", "32"))
 TILE_W = 128
 
