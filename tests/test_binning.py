@@ -1,0 +1,132 @@
+"""Brute-force ground truth for the duplicate-key bin binning (tiles.py).
+
+The end-to-end rasterizer tests cover binning only through composited
+images; this pins the list-construction contract directly: per-bin
+membership, depth ordering, exact totals, overflow accounting, and
+nearest-`capacity` truncation — against an O(N*T) numpy oracle.
+Reference contract: the CUDA duplicate+radix-sort binning
+(/root/reference/renderer/latent_gs_renderer.py:1255-1277 call sites).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from dimo_tpu.ops.rasterizer import tiles as T
+
+
+def _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bin_h, bin_w):
+    """Per-bin gaussian index lists ordered by quantized depth (numpy)."""
+    n = len(depth)
+    cmin = np.floor((mean2d[:, 0] - radius) / bin_w).astype(int)
+    cmax = np.floor((mean2d[:, 0] + radius) / bin_w).astype(int)
+    rmin = np.floor((mean2d[:, 1] - radius) / bin_h).astype(int)
+    rmax = np.floor((mean2d[:, 1] + radius) / bin_h).astype(int)
+    on = (cmax >= 0) & (cmin <= ncols - 1) & (rmax >= 0) & (rmin <= nrows - 1)
+    alive = ok & (radius > 0) & on
+    cmin, cmax = np.clip(cmin, 0, ncols - 1), np.clip(cmax, 0, ncols - 1)
+    rmin, rmax = np.clip(rmin, 0, nrows - 1), np.clip(rmax, 0, nrows - 1)
+    # reproduce _quantize_depth
+    d = np.where(alive, depth, 0.0)
+    lo = d.min()
+    hi = np.where(alive, depth, -np.inf).max()
+    hi = hi if np.isfinite(hi) else lo + 1.0
+    scale = T.DEPTH_MAX / max(hi - lo, 1e-6)
+    dq = np.clip((depth - lo) * scale, 0, T.DEPTH_MAX).astype(np.int64)
+    out = {}
+    for tr in range(nrows):
+        for tc in range(ncols):
+            members = [g for g in range(n) if alive[g]
+                       and rmin[g] <= tr <= rmax[g]
+                       and cmin[g] <= tc <= cmax[g]]
+            members.sort(key=lambda g: dq[g])
+            out[tr * ncols + tc] = (members, dq)
+    return out
+
+
+def _scene(rng, n, extent, rad_lo, rad_hi, distinct_depth=True):
+    mean2d = rng.uniform(-20, extent + 20, (n, 2)).astype(np.float32)
+    radius = rng.uniform(rad_lo, rad_hi, n).astype(np.float32)
+    if distinct_depth:  # distinct quantized keys -> unambiguous order
+        depth = (rng.permutation(n).astype(np.float32) + 1.0) * 0.37
+    else:
+        depth = rng.uniform(1.0, 5.0, n).astype(np.float32)
+    ok = rng.uniform(size=n) > 0.1
+    radius[rng.uniform(size=n) < 0.05] = 0.0   # dead-radius slots
+    return mean2d, radius, depth, ok
+
+
+def _run(mean2d, radius, depth, ok, nrows, ncols, bin_h, bin_w, cap):
+    lists = T.build_bin_lists(jnp.asarray(mean2d), jnp.asarray(radius),
+                              jnp.asarray(depth), jnp.asarray(ok),
+                              nrows, ncols, bin_h, bin_w, cap)
+    return (np.asarray(lists.idx), np.asarray(lists.count),
+            int(lists.overflow))
+
+
+class TestBinListsBruteForce:
+    def test_membership_order_counts(self):
+        rng = np.random.RandomState(0)
+        nrows, ncols, bh, bw = 4, 6, 32, 32
+        n, cap = 300, 128
+        mean2d, radius, depth, ok = _scene(rng, n, max(ncols * bw, nrows * bh),
+                                           1.0, 20.0)
+        idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                    nrows, ncols, bh, bw, cap)
+        brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
+        total_drop = 0
+        for t, (members, dq) in brute.items():
+            got = list(idx[t][:count[t]])
+            assert count[t] == min(len(members), cap), (t, count[t],
+                                                        len(members))
+            assert all(g < n for g in got)
+            # nearest-`capacity` truncation: the kept entries are exactly
+            # the capacity depth-smallest members, in depth order
+            expect = members[:cap]
+            assert sorted(got) == sorted(expect), (t, got, expect)
+            assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
+            total_drop += max(len(members) - cap, 0)
+        assert overflow == total_drop
+
+    def test_big_path_and_mixed(self):
+        rng = np.random.RandomState(1)
+        nrows, ncols, bh, bw = 3, 4, 32, 128
+        n, cap = 200, 64
+        mean2d, radius, depth, ok = _scene(rng, n, 512, 2.0, 8.0)
+        # a handful of oversized gaussians spanning many bins (big path)
+        for g in range(0, 200, 40):
+            radius[g] = rng.uniform(80, 200)
+        idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                    nrows, ncols, bh, bw, cap)
+        brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
+        for t, (members, dq) in brute.items():
+            got = list(idx[t][:count[t]])
+            assert sorted(got) == sorted(members[:cap]), t
+            assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
+
+    def test_all_dead_and_offscreen(self):
+        nrows, ncols, bh, bw = 2, 2, 32, 32
+        n = 16
+        mean2d = np.full((n, 2), -500.0, np.float32)   # far off-screen
+        radius = np.ones(n, np.float32)
+        depth = np.arange(1, n + 1, dtype=np.float32)
+        ok = np.ones(n, bool)
+        idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                    nrows, ncols, bh, bw, 8)
+        assert count.sum() == 0 and overflow == 0
+        assert (idx == n).all()
+
+    def test_duplicate_depth_keys_keep_membership(self):
+        # colliding quantized depths: order within ties is unspecified,
+        # membership and counts must still be exact
+        rng = np.random.RandomState(2)
+        nrows, ncols, bh, bw = 4, 4, 32, 32
+        n, cap = 256, 64
+        mean2d, radius, depth, ok = _scene(rng, n, 128, 1.0, 10.0,
+                                           distinct_depth=False)
+        depth[:] = np.repeat(depth[:64], 4)            # heavy ties
+        idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                    nrows, ncols, bh, bw, cap)
+        brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
+        for t, (members, dq) in brute.items():
+            if len(members) <= cap:                     # no tie-truncation
+                got = list(idx[t][:count[t]])
+                assert sorted(got) == sorted(members), t
