@@ -295,6 +295,46 @@ def run_test_language(tr, text_prompt: str, render_type: str = "fixed",
     return seq
 
 
+def _device_batch_sampler(tr, images: np.ndarray, masks: np.ndarray,
+                          n_guid: int):
+    """Per-iter finetune batch assembly with the frames resident on device.
+
+    The reference's finetune loops restage every sampled frame from host
+    each step; over a tunnel that is ~1MB of H2D per iteration. Upload the
+    motion's (V, F) frames ONCE and gather the sampled rows on device —
+    the per-iter upload shrinks to a B-element index vector (cameras and
+    constant fields are cached per view / batch size)."""
+    num_views, num_frames = images.shape[0], images.shape[1]
+    dev_imgs = jnp.asarray(images.reshape((-1,) + images.shape[2:]))
+    dev_msks = jnp.asarray(masks.reshape((-1,) + masks.shape[2:]))
+    cams_by_view = [tr.camera_for(tr.azimuths[v]) for v in range(num_views)]
+    const_cache = {}
+
+    def assemble(views, frames):
+        flat = jnp.asarray([v * num_frames + f
+                            for v in views for f in frames], jnp.int32)
+        cams = [cams_by_view[v] for v in views for _ in frames]
+        times = jnp.asarray([f / num_frames
+                             for _ in views for f in frames], jnp.float32)
+        b = len(views) * len(frames)
+        if b not in const_cache:
+            const_cache[b] = (jnp.zeros((b,), jnp.int32),
+                              jnp.ones((b,), jnp.float32),
+                              jnp.zeros((b, n_guid, 3)))
+        li, w, guid = const_cache[b]
+        return {
+            "camera": cameras.stack_cameras(cams),
+            "times": times,
+            "latent_idx": li,
+            "mse_w": w,
+            "gt_image": dev_imgs[flat],
+            "gt_mask": dev_msks[flat],
+            "guidance": guid,
+        }
+
+    return assemble
+
+
 def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
                               iters: int = 1000,
                               trainable=frozenset({"latent_code",
@@ -334,6 +374,8 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
     bs = int(opt.batch_size)
     num_views, num_frames = images.shape[0], images.shape[1]
     lcfg = loss_config_from_opt(opt, "s2")
+    assemble = _device_batch_sampler(tr, images, masks,
+                                     params.c_xyz.shape[0])
     step_fns = {}
     rng = tr.py_rng
     for it in range(1, iters + 1):
@@ -341,24 +383,7 @@ def finetune_latent_to_motion(tr, images: np.ndarray, masks: np.ndarray,
         views = [0] + rng.sample(range(1, num_views),
                                  min(bs, num_views - 1))
         frames = rng.sample(range(num_frames), min(bs, num_frames))
-        cams, times, li, w, gt_i, gt_m = [], [], [], [], [], []
-        for v in views:
-            for f in frames:
-                cams.append(tr.camera_for(tr.azimuths[v]))
-                times.append(f / num_frames)
-                li.append(0)
-                w.append(1.0)
-                gt_i.append(images[v, f])
-                gt_m.append(masks[v, f])
-        batch = {
-            "camera": cameras.stack_cameras(cams),
-            "times": jnp.asarray(times, jnp.float32),
-            "latent_idx": jnp.asarray(li, jnp.int32),
-            "mse_w": jnp.asarray(w, jnp.float32),
-            "gt_image": jnp.asarray(np.stack(gt_i)),
-            "gt_mask": jnp.asarray(np.stack(gt_m)),
-            "guidance": jnp.zeros((len(times), params.c_xyz.shape[0], 3)),
-        }
+        batch = assemble(views, frames)
         shape_key = (res, len(views), len(frames))
         if shape_key not in step_fns:
             step_fns[shape_key] = make_train_step(
@@ -424,30 +449,15 @@ def _finetune_cpt_only(tr, images, masks, iters, trainable):
     bs = int(opt.batch_size)
     num_views, num_frames = images.shape[0], images.shape[1]
     lcfg = loss_config_from_opt(opt, "s1")
+    assemble = _device_batch_sampler(tr, images, masks,
+                                     params2.c_xyz.shape[0])
     step_fns = {}
     rng = tr.py_rng
     for it in range(1, iters + 1):
         res = 128 if it < 100 else 256
         views = [0] + rng.sample(range(1, num_views), min(bs, num_views - 1))
         frames = rng.sample(range(num_frames), min(bs, num_frames))
-        cams, times, li, w, gt_i, gt_m = [], [], [], [], [], []
-        for v in views:
-            for f in frames:
-                cams.append(tr.camera_for(tr.azimuths[v]))
-                times.append(f / num_frames)
-                li.append(0)
-                w.append(1.0)
-                gt_i.append(images[v, f])
-                gt_m.append(masks[v, f])
-        batch = {
-            "camera": cameras.stack_cameras(cams),
-            "times": jnp.asarray(times, jnp.float32),
-            "latent_idx": jnp.asarray(li, jnp.int32),
-            "mse_w": jnp.asarray(w, jnp.float32),
-            "gt_image": jnp.asarray(np.stack(gt_i)),
-            "gt_mask": jnp.asarray(np.stack(gt_m)),
-            "guidance": jnp.zeros((len(times), params2.c_xyz.shape[0], 3)),
-        }
+        batch = assemble(views, frames)
         shape_key = (res, len(views), len(frames))
         if shape_key not in step_fns:
             step_fns[shape_key] = make_train_step(
