@@ -23,6 +23,53 @@ import numpy as np
 PSNR_GATE = 26.0      # measured 2026-08: run scores ~30+; gate with margin
 
 
+def build_config(scale512: bool = False, fast: bool = False,
+                 iters: str | None = None,
+                 videos: str = "/tmp/eval_quality_videos"):
+    """Dataset shape + Trainer opt for the gate (unit-tested wiring).
+
+    scale512 is the reference-scale gate (VERDICT r2 #3): 512^2 ref_size
+    (run_train_latent.sh:27-28), 8 motions, 256 cpts x 200 pts/cpt =
+    51,200 stage-2 gaussians, full two-stage schedule
+    (run_train_latent.sh:12-13 scaled to the synthetic set's size).
+    """
+    from dimo_tpu.presets import tiny_synthetic_opt as tiny_opt
+
+    if scale512:
+        M, V, F, S = 8, 4, 7, 512
+        iters_s1, iters_s2 = 2800, 10000
+    else:
+        M, V, F, S = 3, 4, 7, 256
+        iters_s1, iters_s2 = (120, 60) if fast else (700, 500)
+    if iters:
+        iters_s1, iters_s2 = (int(x) for x in iters.split(","))
+    common = dict(
+        ref_size=S, W=S, H=S, num_views=V, num_frames=F,
+        batch_size=2, iters_s1=iters_s1, iters_s2=iters_s2,
+        save_path="/tmp/eval_quality_run",
+        video_save_dir=videos,
+    )
+    if scale512:
+        opt = tiny_opt(
+            latent_code_dim=32,
+            num_pts=512, num_cpts=256, capacity_s1=2048, tile_capacity=1024,
+            num_pts_per_cpt=200,                  # 256*200 = 51,200 gaussians
+            density_start_iter=100, density_end_iter=2500,
+            densification_interval=100, FPS_iter=200,
+            arap_start_iter_s1=2000, arap_end_iter_s2=5000,
+            **common)
+    else:
+        opt = tiny_opt(
+            latent_code_dim=16,
+            num_pts=256, num_cpts=96, capacity_s1=2048, tile_capacity=512,
+            num_pts_per_cpt=128,                  # 96*128 = 12,288 gaussians
+            density_start_iter=100, density_end_iter=500,
+            densification_interval=100, FPS_iter=200,
+            arap_start_iter_s1=300, arap_end_iter_s2=200,
+            **common)
+    return M, V, F, S, iters_s1, iters_s2, opt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
@@ -42,52 +89,15 @@ def main():
     import jax.numpy as jnp
     from dimo_tpu.io.synthetic import make_synthetic_videos
     from dimo_tpu.train.loop import Trainer
-    from dimo_tpu.presets import tiny_synthetic_opt as tiny_opt
     from dimo_tpu.models.lpips import get_lpips
     from dimo_tpu import test_modes
 
-    if args.scale512:
-        # Reference-scale gate (VERDICT r2 #3): 512^2 ref_size
-        # (run_train_latent.sh:27-28), >=8 motions, 256 cpts x 200 pts/cpt
-        # = 51,200 stage-2 gaussians, full two-stage schedule
-        # (run_train_latent.sh:12-13 scaled to the synthetic set's size).
-        M, V, F, S = 8, 4, 7, 512
-    else:
-        M, V, F, S = 3, 4, 7, 256
+    M, V, F, S, iters_s1, iters_s2, opt = build_config(
+        scale512=args.scale512, fast=args.fast, iters=args.iters,
+        videos=args.videos)
     images, masks, meta = make_synthetic_videos(
         num_motions=M, num_views=V, num_frames=F, ref_size=S, n_gauss=150,
         seed=0)
-
-    if args.scale512:
-        iters_s1, iters_s2 = 2800, 10000
-    else:
-        iters_s1, iters_s2 = (120, 60) if args.fast else (700, 500)
-    if args.iters:
-        iters_s1, iters_s2 = (int(x) for x in args.iters.split(","))
-    common = dict(
-        ref_size=S, W=S, H=S, num_views=V, num_frames=F,
-        batch_size=2, iters_s1=iters_s1, iters_s2=iters_s2,
-        save_path="/tmp/eval_quality_run",
-        video_save_dir=args.videos,
-    )
-    if args.scale512:
-        opt = tiny_opt(
-            latent_code_dim=32,
-            num_pts=512, num_cpts=256, capacity_s1=2048, tile_capacity=1024,
-            num_pts_per_cpt=200,                  # 256*200 = 51,200 gaussians
-            density_start_iter=100, density_end_iter=2500,
-            densification_interval=100, FPS_iter=200,
-            arap_start_iter_s1=2000, arap_end_iter_s2=5000,
-            **common)
-    else:
-        opt = tiny_opt(
-            latent_code_dim=16,
-            num_pts=256, num_cpts=96, capacity_s1=2048, tile_capacity=512,
-            num_pts_per_cpt=128,                  # 96*128 = 12,288 gaussians
-            density_start_iter=100, density_end_iter=500,
-            densification_interval=100, FPS_iter=200,
-            arap_start_iter_s1=300, arap_end_iter_s2=200,
-            **common)
     lpips_fn = None if args.no_lpips else \
         get_lpips("weights/lpips_vgg.npz", fallback="random")
 
