@@ -270,7 +270,13 @@ class Trainer:
         Checked every 10 steps to avoid a per-step host sync."""
         if self.step % 10 != 0:
             return
-        cap_max = int(self.opt.get("tile_capacity_max", 2048))
+        # Default ceiling 4096: the round-2 device fault at 4096 was specific
+        # to the tile compositor's capacity-scaled in-kernel buffers; the
+        # strip compositor streams capacity as a GRID dimension (slabs arrive
+        # in (1, G, 16) HBM blocks, scratch is capacity-invariant ~1MB), so
+        # escalation no longer changes the kernel's VMEM footprint. The knob
+        # remains for emergency clamping.
+        cap_max = int(self.opt.get("tile_capacity_max", 4096))
         if self.tile_capacity >= cap_max:
             return
         ov = float(metrics["overflow"])

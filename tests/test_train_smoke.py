@@ -78,6 +78,21 @@ class TestStage1:
         tr.step = 61
         tr._check_overflow(heavy)
         assert tr.tile_capacity == cap0 * 2
+        # sustained overflow escalates all the way to the 4096 default
+        # ceiling (VERDICT r2 #2: no capacity cliff below it)
+        s = 70
+        heavy = {"overflow": 4 * 4096}
+        while tr.tile_capacity < 4096 and s < 1000:
+            tr.step = s
+            tr._check_overflow(heavy)
+            s += 10
+        assert tr.tile_capacity == 4096
+        # and stops there
+        for _ in range(3):
+            tr.step = s
+            tr._check_overflow(heavy)
+            s += 10
+        assert tr.tile_capacity == 4096
 
     def test_densify_stats_window_gating(self, synthetic_data):
         """Stats accumulate ONLY inside the reference's densify window
