@@ -57,6 +57,8 @@ def rasterize(
     valid: jnp.ndarray | None = None,
     mean2d_tap: jnp.ndarray | None = None,
     channels: int = 7,
+    sp_mesh=None,
+    sp_axis: str = "sp",
 ) -> RenderOutput:
     """Render N Gaussians through the tiled Pallas compositor.
 
@@ -70,6 +72,14 @@ def rasterize(
       channels: 7 (rgb+depth+normal, differentiable) or 3/4 for the
         forward-only inference kernel (depth/normal outputs zero-filled;
         fps/test paths that only consume the image skip those FMAs).
+      sp_mesh: optional jax.sharding.Mesh with an `sp_axis` axis — shards
+        ONE render's compositing over devices along the strip-buffer axis
+        (spatial parallelism; the reference's CUDA rasterizer is strictly
+        single-GPU). Projection/binning replicate (cheap); the Pallas
+        compositor runs on NB/n_sp count-balanced buffers per device and
+        the (C+1, NB*32, 128) planes concatenate over ICI. Gradients flow
+        through the shard_map transpose; results are bit-identical to the
+        unsharded path (same kernel, permuted buffer order).
     """
     p = proj_mod.project(
         means3d, scales, quats, opacities, sh_coeffs,
@@ -102,13 +112,22 @@ def rasterize(
     table = strips_mod.coef_table(
         mean2d, p.conic, opacities, p.color, p.depth, p.normal,
         h_pad, w_pad)
-    bufs = strips_mod.build_buffers(table, lists, h_pad, w_pad)
+    n_sp = int(sp_mesh.shape[sp_axis]) if sp_mesh is not None else 1
+    bufs = strips_mod.build_buffers(table, lists, h_pad, w_pad,
+                                    sp_nshards=n_sp)
 
     if channels == 7:
-        out8 = composite_strips(bufs.slabs, bufs.evalid, bufs.count)
+        comp = lambda s, e, c: composite_strips(s, e, c)
     else:
-        out8 = composite_strips_infer(bufs.slabs, bufs.evalid, bufs.count,
-                                      channels)
+        comp = lambda s, e, c: composite_strips_infer(s, e, c, channels)
+    if n_sp > 1:
+        from jax.sharding import PartitionSpec as P
+        comp = jax.shard_map(
+            comp, mesh=sp_mesh,
+            in_specs=(P(sp_axis), P(sp_axis), P(sp_axis)),
+            out_specs=P(None, sp_axis, None),
+            check_vma=False)  # pallas_call out_shape carries no vma info
+    out8 = comp(bufs.slabs, bufs.evalid, bufs.count)
     planes = strips_mod.reassemble(out8, bufs.order, h_pad, w_pad)
     out = planes[:-1, :height, :width]
     tfin = planes[-1, :height, :width]

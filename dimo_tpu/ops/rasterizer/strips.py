@@ -122,20 +122,35 @@ class StripBuffers(NamedTuple):
 
 
 def build_buffers(table: jnp.ndarray, lists: StripLists, height: int,
-                  width: int) -> StripBuffers:
+                  width: int, sp_nshards: int = 1) -> StripBuffers:
     """Gather table rows into count-balanced 4-strip buffers.
 
     Slab rows stay in their HOME-strip frame: the kernel applies the
     Taylor shift to each evaluating strip's frame itself (a handful of
     (G,1)-column ops) using the per-(buffer, lane-slot) eval strip ids —
     restacking 16 lanes per slab on the XLA side measured ~0.5 ms/frame
-    of pure concatenate/copy traffic."""
+    of pure concatenate/copy traffic.
+
+    sp_nshards > 1 prepares the buffer axis for spatial sharding
+    (shard_map over contiguous NB/sp_nshards blocks): the count-sorted
+    groups are dealt round-robin across shards so every shard gets an
+    equal mix of heavy and light buffers (a contiguous split would hand
+    shard 0 all the heavy ones — the same load-balance lesson as the
+    in-buffer grouping)."""
     nrows, ncols = num_strips(height, width)
     ns = nrows * ncols
     cs = lists.idx.shape[1]
     counts = jnp.minimum(lists.count, cs)
     order = jnp.argsort(-counts).astype(jnp.int32)                 # (Ns,)
     order4 = order.reshape(ns // S_PER_BUF, S_PER_BUF)
+    if sp_nshards > 1:
+        nb = ns // S_PER_BUF
+        assert nb % sp_nshards == 0, (nb, sp_nshards)
+        import numpy as _np
+        old_of_new = _np.concatenate(
+            [_np.arange(d, nb, sp_nshards) for d in range(sp_nshards)])
+        order4 = order4[old_of_new]
+        order = order4.reshape(-1)
     slabs = tuple(gather_rows(table, lists.idx[order4[:, j]])
                   for j in range(S_PER_BUF))
     bufc = jnp.max(counts[order4], axis=1)

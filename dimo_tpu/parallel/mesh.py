@@ -20,6 +20,16 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("data",))
 
 
+def make_sp_mesh(n_devices: int | None = None) -> Mesh:
+    """Mesh for SPATIAL parallelism of a single render: the rasterizer
+    shards its count-balanced strip buffers over the "sp" axis (see
+    ops/rasterizer/api.py `sp_mesh`) — the scaling axis for one large
+    frame, complementary to the batch "data" axis."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("sp",))
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place every batch leaf with its leading (render-job) axis sharded over
     the "data" mesh axis."""
