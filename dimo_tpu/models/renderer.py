@@ -69,6 +69,7 @@ def render(
     capacity: int = 512,
     use_oracle: bool = False,
     channels: int = 7,
+    sp_mesh=None,
 ):
     """Render one (camera, time, motion) job. Fully jit/vmap-safe.
 
@@ -101,7 +102,8 @@ def render(
         rotations = quat_ops.normalize(params.rotation)
 
     raster = rasterize_dense if use_oracle else rasterize
-    kwargs = {} if use_oracle else {"capacity": capacity, "channels": channels}
+    kwargs = {} if use_oracle else {"capacity": capacity, "channels": channels,
+                                    "sp_mesh": sp_mesh}
     out = raster(
         means3d, scales, rotations, opacity, G.get_features(params),
         camera, width, height, bg,

@@ -527,12 +527,20 @@ def run_test_fps(tr, rounds: int = 500, size: int = 512) -> float:
     stage = opt.test_stage
     knn_cache = (jax.jit(find_knn)(tr.state.params, tr.state.aux)
                  if stage >= "s2" else None)
+    # spatial_parallel=N shards each frame's strip buffers over N devices
+    # (ops/rasterizer/api.py sp_mesh) — single-frame scaling the reference's
+    # single-GPU rasterizer has no equivalent of
+    n_sp = int(opt.get("spatial_parallel", 1))
+    sp_mesh = None
+    if n_sp > 1:
+        from dimo_tpu.parallel import mesh as mesh_mod
+        sp_mesh = mesh_mod.make_sp_mesh(n_sp)
 
     @jax.jit
     def fn(params, aux, cam, t, li):
         return render(cfg, params, aux, cam, t, stage, li, size, size, bg,
                       knn_cache=knn_cache, capacity=capacity,
-                      channels=3)["image"]
+                      channels=3, sp_mesh=sp_mesh)["image"]
 
     cam = tr.camera_for(0)
     out = fn(tr.state.params, tr.state.aux, cam, 0.0, 0)

@@ -80,6 +80,16 @@ class TestFps:
         fps = test_modes.run_test_fps(trained, rounds=3, size=128)
         assert fps > 0
 
+    def test_fps_spatial_parallel(self, trained):
+        """spatial_parallel=4 engages the sp mesh inside the product fps
+        harness (128^2 -> 4 strip buffers, one per device)."""
+        trained.opt["spatial_parallel"] = 4
+        try:
+            fps = test_modes.run_test_fps(trained, rounds=3, size=128)
+        finally:
+            del trained.opt["spatial_parallel"]
+        assert fps > 0
+
 
 class TestUnaligned:
     def test_cpt_only_phase_then_full(self, trained):
