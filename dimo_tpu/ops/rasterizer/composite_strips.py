@@ -123,12 +123,14 @@ def make_m9t3(g: int) -> jnp.ndarray:
 
 
 def _bwd_feat_mats():
-    """(3*BUF_W, 4*COEF_DIM) bf16 backward feature matrices: row x (tiled
-    3x for the dX split), lane s*16+q; entry = strip-masked feat_yp,q(x).
-    Single-block (NOT t-tiled) so d slab = dX @ Fb is counted once."""
+    """(3*BUF_W, S_PER_BUF*COEF_DIM) bf16 backward feature matrices: row x
+    (tiled 3x for the dX split), lane s*16+q; entry = strip-masked
+    feat_yp,q(x). Single-block (NOT t-tiled) so d slab = dX @ Fb is counted
+    once."""
     rows = 3 * BUF_W
-    r = lax.broadcasted_iota(jnp.int32, (rows, 4 * COEF_DIM), 0)
-    lane = lax.broadcasted_iota(jnp.int32, (rows, 4 * COEF_DIM), 1)
+    cols = S_PER_BUF * COEF_DIM
+    r = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
     x = r % BUF_W
     ss = lane // COEF_DIM
     q = lane % COEF_DIM
@@ -240,8 +242,9 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
     return alpha, araw, cs, SL
 
 
-def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, ev_ref, cnt_ref,
-                out_ref, t_ref):
+def _fwd_kernel(g, out_ch, ncap, *refs):
+    slab_refs = refs[:S_PER_BUF]
+    m9_ref, ev_ref, cnt_ref, out_ref, t_ref = refs[S_PER_BUF:]
     b = pl.program_id(0)
     kk = pl.program_id(1)
     count = cnt_ref[0, b]
@@ -257,7 +260,7 @@ def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, ev_ref, cnt_ref,
     def _blend():
         shifted = [
             _shift_slab(s[0], ev_ref[b, j], ev_ref[b, S_PER_BUF + j])[0]
-            for j, s in enumerate((s0, s1, s2, s3))]
+            for j, s in enumerate(slab_refs)]
         alpha, _, cs, _ = _chunk_planes(shifted, m9_ref[...], out_ch)
         T = t_ref[...]
         accs = [out_ref[ch] for ch in range(out_ch)]
@@ -278,9 +281,12 @@ def _fwd_kernel(g, out_ch, ncap, s0, s1, s2, s3, m9_ref, ev_ref, cnt_ref,
         out_ref[out_ch] = t_ref[...]
 
 
-def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
-                tfin_ref, ev_ref, cnt_ref, ds0, ds1, ds2, ds3,
-                gs_ref, t_ref, dpow_ref, w_ref):
+def _bwd_kernel(g, ncap, *refs):
+    slab_refs = refs[:S_PER_BUF]
+    (m9_ref, m9t3_ref, gout_ref, tfin_ref, ev_ref, cnt_ref
+     ) = refs[S_PER_BUF:S_PER_BUF + 6]
+    dslab_refs = refs[S_PER_BUF + 6:2 * S_PER_BUF + 6]
+    gs_ref, t_ref, dpow_ref, w_ref = refs[2 * S_PER_BUF + 6:]
     gb = g * TH
     b = pl.program_id(0)
     kk = pl.program_id(1)
@@ -296,14 +302,14 @@ def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
         gs_ref[...] = gtfin * tfin
         t_ref[...] = tfin
 
-    for ref in (ds0, ds1, ds2, ds3):
+    for ref in dslab_refs:
         ref[...] = jnp.zeros_like(ref)
 
     @pl.when(active)
     def _chunk_bwd():
         sh_uv = [
             _shift_slab(s[0], ev_ref[b, j], ev_ref[b, S_PER_BUF + j])
-            for j, s in enumerate((s0, s1, s2, s3))]
+            for j, s in enumerate(slab_refs)]
         slabs = tuple(x[0] for x in sh_uv)
         alpha_all, araw_all, cs, SL = _chunk_planes(slabs, m9_ref[...],
                                                     OUT_CH)
@@ -334,7 +340,7 @@ def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
         dpow = dpow_ref[...]
         dp3 = _dot(m9t3_ref[...], _stack3(dpow, axis=0))     # (3G, TW)
         fb0, fb1, fb2 = _bwd_feat_mats()
-        dsl64 = jnp.zeros((g, 4 * COEF_DIM), jnp.float32)
+        dsl64 = jnp.zeros((g, S_PER_BUF * COEF_DIM), jnp.float32)
         for yp, fb in ((0, fb0), (1, fb1), (2, fb2)):
             dx = dp3[yp * g:(yp + 1) * g]                    # (G, TW)
             dsl64 = dsl64 + _dot(_stack3(dx, axis=1), fb)    # (G, 64)
@@ -344,38 +350,39 @@ def _bwd_kernel(g, ncap, s0, s1, s2, s3, m9_ref, m9t3_ref, gout_ref,
         # one cheap (gb, 3TH)@(3TH, TW) matmul keeps only a single plane
         # live instead of an OUT_CH*gb scratch (scoped-VMEM budget).
         w = w_ref[...]
+        sc = max(8, S_PER_BUF)                   # strip-sel cols (lane pad)
         y1 = (lax.broadcasted_iota(jnp.int32, (gb, TH), 0) % TH
               == lax.broadcasted_iota(jnp.int32, (gb, TH), 1)
               ).astype(jnp.bfloat16)
         y13 = jnp.concatenate([y1] * 3, axis=1)
-        ssel = ((lax.broadcasted_iota(jnp.int32, (BUF_W, 8), 1)
-                 == lax.broadcasted_iota(jnp.int32, (BUF_W, 8), 0)
-                 // STRIP_W)).astype(jnp.bfloat16)           # (TW, 8)
+        ssel = ((lax.broadcasted_iota(jnp.int32, (BUF_W, sc), 1)
+                 == lax.broadcasted_iota(jnp.int32, (BUF_W, sc), 0)
+                 // STRIP_W)).astype(jnp.bfloat16)           # (TW, sc)
         ssel3 = jnp.concatenate([ssel] * 3, axis=0)
-        ball = jnp.zeros((gb, 8 * OUT_CH), jnp.float32)
-        colb = lax.broadcasted_iota(jnp.int32, (gb, 8 * OUT_CH), 1)
+        ball = jnp.zeros((gb, sc * OUT_CH), jnp.float32)
+        colb = lax.broadcasted_iota(jnp.int32, (gb, sc * OUT_CH), 1)
         for ch in range(OUT_CH):
             grep = _dot(y13, _stack3(gouts[ch], axis=0))     # (gb, TW)
-            contrib = _dot(_stack3(w * grep, axis=1), ssel3)  # (gb, 8)
+            contrib = _dot(_stack3(w * grep, axis=1), ssel3)  # (gb, sc)
             for s in range(S_PER_BUF):
-                ball = ball + jnp.where(colb == ch * 8 + s,
+                ball = ball + jnp.where(colb == ch * sc + s,
                                         contrib[:, s:s + 1], 0.0)
         rrepT = (lax.broadcasted_iota(jnp.int32, (g, gb), 0)
                  == lax.broadcasted_iota(jnp.int32, (g, gb), 1) // TH
                  ).astype(jnp.bfloat16)
         rrepT3 = jnp.concatenate([rrepT] * 3, axis=1)
-        dc_all = _dot(rrepT3, _stack3(ball, axis=0))         # (G, 8*OUT_CH)
+        dc_all = _dot(rrepT3, _stack3(ball, axis=0))         # (G, sc*OUT_CH)
 
         # --- assemble per-strip (G, 16) outputs: dsl64's strip slice holds
         # the coefficient-lane grads (color lanes are zero there); add the
         # channel grads, then chain back through the Taylor shift to the
         # HOME-frame lanes the slab actually stores.
         col16 = lax.broadcasted_iota(jnp.int32, (g, COEF_DIM), 1)
-        for s, dref in enumerate((ds0, ds1, ds2, ds3)):
+        for s, dref in enumerate(dslab_refs):
             acc = dsl64[:, s * COEF_DIM:(s + 1) * COEF_DIM]
             for ch in range(OUT_CH):
                 acc = acc + jnp.where(col16 == C_R + ch,
-                                      dc_all[:, ch * 8 + s:ch * 8 + s + 1],
+                                      dc_all[:, ch * sc + s:ch * sc + s + 1],
                                       0.0)
             dref[...] = _unshift_grad(acc, sh_uv[s][1], sh_uv[s][2])[None]
 
@@ -390,7 +397,7 @@ def _fwd_call(slabs, evalid, count, out_ch: int):
     return pl.pallas_call(
         functools.partial(_fwd_kernel, g, out_ch, ncap),
         grid=(nb, ncap),
-        in_specs=[slab_spec] * 4 + [
+        in_specs=[slab_spec] * S_PER_BUF + [
             pl.BlockSpec(m9.shape, lambda b, kk: (0, 0)),
             pl.BlockSpec((nb, 2 * S_PER_BUF), lambda b, kk: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -420,7 +427,7 @@ def _bwd_call(slabs, gout8, tfin, evalid, count):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, g, ncap),
         grid=(nb, ncap),
-        in_specs=[slab_spec] * 4 + [
+        in_specs=[slab_spec] * S_PER_BUF + [
             pl.BlockSpec(m9.shape, lambda b, kk: (0, 0)),
             pl.BlockSpec(m9t3.shape, lambda b, kk: (0, 0)),
             pl.BlockSpec((OUT_CH + 1, TH, BUF_W), lambda b, kk: (0, b, 0)),
@@ -431,8 +438,8 @@ def _bwd_call(slabs, gout8, tfin, evalid, count):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((nb, cs, COEF_DIM), jnp.float32)
-                   ] * 4,
-        out_specs=[dslab_spec] * 4,
+                   ] * S_PER_BUF,
+        out_specs=[dslab_spec] * S_PER_BUF,
         scratch_shapes=[
             pltpu.VMEM((TH, BUF_W), jnp.float32),            # GS
             pltpu.VMEM((TH, BUF_W), jnp.float32),            # running T

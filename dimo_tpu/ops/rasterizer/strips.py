@@ -29,6 +29,7 @@ coefficient form is the same expanded conic the CUDA forward evaluates.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -39,7 +40,12 @@ from dimo_tpu.ops.rasterizer import tiles as tiles_mod
 
 STRIP_H = 32
 STRIP_W = 32
-S_PER_BUF = 4          # strips per 128-lane buffer
+# Strips per buffer = how many independent entries one serial blend step
+# composites (each in its own 32-lane window). 4 = one native 128-lane
+# VREG row; 8/16 widen the planes to 2/4 lane-tiles, halving/quartering
+# the serial instruction stream per element-op (A/B knob; total element
+# ops, exp2 count and MXU MACs are identical across settings).
+S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", "4"))
 BUF_W = S_PER_BUF * STRIP_W
 
 INV_LN2 = 1.4426950408889634  # coefficients are log2-scaled: kernel uses exp2
