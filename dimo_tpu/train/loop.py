@@ -296,7 +296,16 @@ class Trainer:
     # training
 
     def train_dynamic(self, iters_s1: int, iters_s2: int, load_stage: str = "",
-                      lpips_fn=None):
+                      lpips_fn=None, snapshot_every: int = 0,
+                      snapshot_dir: str = ""):
+        """Two-stage schedule. snapshot_every/snapshot_dir enable ELASTIC
+        resume for long runs (hours-scale jobs surviving device/tunnel
+        failures): every N steps the full TrainState (incl. Adam moments and
+        cached s1 trajectories) is written atomically, and re-invoking the
+        same train_dynamic continues from the last snapshot (host batch RNG
+        is reseeded, so the batch sequence after resume differs from an
+        uninterrupted run — elastic, not bit-exact). The reference has no
+        mid-run recovery (`main_train_dimo.py` restarts stages from zero)."""
         if load_stage >= "s1":
             iters_s1 = 0
         if load_stage >= "s2":
@@ -304,16 +313,41 @@ class Trainer:
         if load_stage:
             self.load_checkpoint(load_stage)
 
-        if iters_s1 > 0:
-            self.prepare_train_s1()
-            for _ in range(iters_s1):
+        snap = bool(snapshot_every and snapshot_dir)
+        start_s1 = start_s2 = 0
+        s2_prepared = False
+        if snap:
+            meta = self.load_snapshot(snapshot_dir)
+            if meta is not None:
+                if meta["phase"] == "s1":
+                    start_s1 = meta["done"]
+                else:
+                    start_s1 = iters_s1
+                    start_s2 = meta["done"]
+                    s2_prepared = True   # snapshot state is post-prepare
+                print(f"[snapshot] resumed {meta['phase']} after "
+                      f"{meta['done']} iters (step {self.step})")
+
+        if iters_s1 > start_s1:
+            if start_s1 == 0:
+                self.prepare_train_s1()
+            for i in range(start_s1, iters_s1):
                 self.train_step_once(lpips_fn)
+                if snap and (i + 1) % snapshot_every == 0 and i + 1 < iters_s1:
+                    self.save_snapshot(snapshot_dir, "s1", i + 1)
             self.finish_s1()
 
-        if iters_s2 > 0:
-            self.prepare_train_s2()
-            for _ in range(iters_s2):
+        if iters_s2 > 0 and iters_s2 > start_s2:
+            if not s2_prepared:
+                self.prepare_train_s2()
+                if snap:
+                    # stage-transition snapshot: a failure early in s2 must
+                    # not redo s1 (prepare_train_s2 rebuilt state/capacity)
+                    self.save_snapshot(snapshot_dir, "s2", 0)
+            for i in range(start_s2, iters_s2):
                 self.train_step_once(lpips_fn)
+                if snap and (i + 1) % snapshot_every == 0 and i + 1 < iters_s2:
+                    self.save_snapshot(snapshot_dir, "s2", i + 1)
             self.finish_s2()
 
     def train_step_once(self, lpips_fn=None):
@@ -605,6 +639,71 @@ class Trainer:
         capture tuple, `latent_gs_renderer.py:296-315`, which its mains never
         call; here it's the supported elastic-resume path)."""
         ckpt_io.save_train_state(path, self.state)
+
+    # ------------------------------------------------------------------
+    # elastic mid-run snapshots (see train_dynamic docstring)
+
+    def save_snapshot(self, dir_path: str, phase: str, done: int):
+        """Atomic full-progress snapshot: TrainState (+ Adam moments), cached
+        s1 trajectories, and the host-side scalars needed to continue
+        (step/stage/capacities). Files are written to .tmp then renamed so a
+        failure mid-write never corrupts the previous snapshot."""
+        import json
+
+        os.makedirs(dir_path, exist_ok=True)
+
+        def atomic(name, writer):
+            # keep the extension on the temp name (np.savez appends .npz
+            # to names that lack it, which would break the rename)
+            tmp = os.path.join(dir_path, "tmp_" + name)
+            writer(tmp)
+            os.replace(tmp, os.path.join(dir_path, name))
+
+        atomic("snapshot_state.npz",
+               lambda p: ckpt_io.save_train_state(p, self.state))
+        if self.cpts_s1 is not None:
+            atomic("snapshot_cpts.npz",
+                   lambda p: np.savez(p, cpts_s1=np.asarray(self.cpts_s1)))
+        meta = {"phase": phase, "done": int(done), "step": int(self.step),
+                "stage": self.stage, "capacity": int(self.mcfg.capacity),
+                "cpt_capacity": int(self.mcfg.cpt_capacity),
+                "tile_capacity": int(self.tile_capacity)}
+        atomic("snapshot_meta.json",
+               lambda p: open(p, "w").write(json.dumps(meta)))
+
+    def load_snapshot(self, dir_path: str):
+        """Restore a save_snapshot; returns its meta dict or None if absent.
+        The state tree is unflattened with the current treedef (leaf SHAPES
+        come from the snapshot, so capacity growth between snapshots is
+        fine); host batch RNG is reseeded from (seed, step)."""
+        import json
+        from dataclasses import replace as _dc_replace
+
+        meta_path = os.path.join(dir_path, "snapshot_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (int(meta["capacity"]) != self.mcfg.capacity
+                or int(meta["cpt_capacity"]) != self.mcfg.cpt_capacity):
+            self.mcfg = _dc_replace(self.mcfg,
+                                    capacity=int(meta["capacity"]),
+                                    cpt_capacity=int(meta["cpt_capacity"]))
+        self.state = ckpt_io.load_train_state(
+            os.path.join(dir_path, "snapshot_state.npz"), self.state)
+        self._replicate_state()
+        cpts_path = os.path.join(dir_path, "snapshot_cpts.npz")
+        if os.path.exists(cpts_path):
+            with np.load(cpts_path) as z:
+                self.cpts_s1 = jnp.asarray(z["cpts_s1"])
+        self.step = int(meta["step"])
+        self.stage = meta["stage"]
+        self.tile_capacity = int(meta["tile_capacity"])
+        self._step_fns.clear()
+        self._densify_fns.clear()
+        self.py_rng = random.Random(self.seed + self.step)
+        np.random.seed((self.seed + self.step) % (2 ** 31))
+        return meta
 
     def load_full_state(self, path: str):
         self.state = ckpt_io.load_train_state(path, self.state)

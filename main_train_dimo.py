@@ -113,8 +113,13 @@ def main() -> None:
         opt.save_path = opt.save_path_new
 
     if opt.train_dynamic:
+        # snapshot_every=N enables elastic mid-run recovery: re-launching
+        # the same command continues from the last snapshot (Trainer
+        # .train_dynamic docstring). 0 (default) = reference behavior.
         trainer.train_dynamic(int(opt.iters_s1), int(opt.iters_s2),
-                              opt.load_stage or "", lpips_fn=lpips_fn)
+                              opt.load_stage or "", lpips_fn=lpips_fn,
+                              snapshot_every=int(opt.get("snapshot_every", 0)),
+                              snapshot_dir=os.path.join(opt.save_path, "snap"))
     else:
         from dimo_tpu.test_modes import run_default_test
         run_default_test(trainer, render_type=opt.render_type)

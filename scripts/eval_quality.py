@@ -83,6 +83,10 @@ def main():
                     help="disable the LPIPS term (fallback A/B, VERDICT r2 #4)")
     ap.add_argument("--out", default="eval_quality.json")
     ap.add_argument("--videos", default="/tmp/eval_quality_videos")
+    ap.add_argument("--snapshot-every", type=int, default=500,
+                    help="elastic-resume snapshot cadence (0 disables); "
+                         "re-running the same command continues an "
+                         "interrupted run from the last snapshot")
     args = ap.parse_args()
 
     import jax
@@ -103,7 +107,13 @@ def main():
 
     tr = Trainer(opt, images, masks, meta)
     t0 = time.time()
-    tr.train_dynamic(iters_s1, iters_s2, "", lpips_fn=lpips_fn)
+    # snapshot dir is config-tagged: different gate variants (A/B lpips,
+    # scales) must not resume each other's runs
+    tag = f"snap_{S}_{iters_s1}+{iters_s2}_" \
+          f"{'nolpips' if args.no_lpips else 'lpips'}"
+    tr.train_dynamic(iters_s1, iters_s2, "", lpips_fn=lpips_fn,
+                     snapshot_every=args.snapshot_every,
+                     snapshot_dir=os.path.join(opt.save_path, tag))
     train_s = time.time() - t0
     n_gauss = int(np.asarray(tr.state.aux.active).sum())
     print(f"[eval_quality] trained {iters_s1}+{iters_s2} steps in "

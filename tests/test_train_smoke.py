@@ -159,3 +159,43 @@ class TestCheckpointRoundtrip:
         n_before = int(G.num_active(tr.state.aux))
         tr.load_checkpoint(stage)
         assert int(G.num_active(tr.state.aux)) == n_before
+
+
+class TestElasticResume:
+    """train_dynamic snapshot/resume (elastic recovery for hours-scale runs):
+    an interrupted run re-invoked with the same snapshot_dir continues from
+    the last snapshot instead of redoing completed work."""
+
+    def test_interrupt_mid_s1_and_mid_s2_resumes(self, synthetic_data,
+                                                 tmp_path):
+        images, masks, meta = synthetic_data
+        snap = str(tmp_path / "snap")
+        opt = tiny_opt(save_path=str(tmp_path / "run"))
+
+        # "crash" after 4 of 6 s1 iters: run a snapshotting s1 segment only
+        tr = Trainer(opt, images, masks, meta)
+        tr.prepare_train_s1()
+        for i in range(4):
+            tr.train_step_once()
+        tr.save_snapshot(snap, "s1", 4)
+
+        # fresh process: resume completes s1 (2 more) then runs s2
+        tr2 = Trainer(opt, images, masks, meta)
+        steps = []
+        tr2.log_fn = lambda s, st, m: steps.append((s, st))
+        tr2.train_dynamic(6, 4, snapshot_every=2, snapshot_dir=snap)
+        s1_steps = [st for s, st in steps if s == "s1"]
+        assert s1_steps == [5, 6], s1_steps       # resumed at step 5, not 1
+        assert len([1 for s, _ in steps if s == "s2"]) == 4
+        assert np.isfinite(float(np.asarray(tr2.state.params.xyz).sum()))
+
+        # "crash" mid-s2: the transition + cadence snapshots (every=2) left
+        # a phase-s2 snapshot; a third process must skip s1 AND s2 prepare
+        meta3 = Trainer(opt, images, masks, meta).load_snapshot(snap)
+        assert meta3 is not None and meta3["phase"] == "s2"
+        tr3 = Trainer(opt, images, masks, meta)
+        steps3 = []
+        tr3.log_fn = lambda s, st, m: steps3.append((s, st))
+        tr3.train_dynamic(6, 4, snapshot_every=2, snapshot_dir=snap)
+        assert all(s == "s2" for s, _ in steps3), steps3
+        assert len(steps3) == 4 - meta3["done"], (steps3, meta3)
