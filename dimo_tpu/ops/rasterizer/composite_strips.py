@@ -60,6 +60,9 @@ LN2 = 0.6931471805599453
 
 G_FWD = int(os.environ.get("DIMO_SG_FWD", "64"))
 G_BWD = int(os.environ.get("DIMO_SG_BWD", "32"))
+# y-expansion route in _chunk_planes: "1" = sublane-repeat + column FMAs
+# (zero MXU), "0" = M9 one-hot matmul. A/B knob until measured on chip.
+Y_REPEAT = os.environ.get("DIMO_Y_REPEAT", "0") == "1"
 
 
 def _interpret(which: str = "") -> bool:
@@ -224,18 +227,39 @@ def _unshift_grad(dsh, u, v):
 def _chunk_planes(slab_refs, m9, out_ch: int):
     """Shared fwd/bwd chunk evaluation: (alpha, araw, C_ch list, SL).
 
-    slab_refs: four (G, 16) f32 coefficient slabs (one per strip).
+    slab_refs: S_PER_BUF (G, 16) f32 coefficient slabs (one per strip).
     Returns alpha/araw as (gb, TW) planes (row g*TH+y), colors as (G, TW)
-    rows to be row-broadcast per serial step."""
+    rows to be row-broadcast per serial step.
+
+    The y expansion power(g*TH+y) = X0 + y*X1 + y^2*X2 has two routes
+    (DIMO_Y_REPEAT; fwd and bwd replay share this helper, so the
+    bit-identical-alpha invariant holds under either):
+      matmul (default): power = M9 @ stack3-stacked X planes — one big
+        MXU op whose contraction is a one-hot replication (gb*9G*TW MACs,
+        ~9/(9G) useful).
+      repeat: re-center to d = y+16 via Horner (A,B,C combos at (G, TW)),
+        sublane-repeat each to (gb, TW), two column FMAs — zero MXU work,
+        exact f32 (no bf16 splits needed)."""
     f0, f1, f2, fcs = _feat_mats(out_ch)
     SL = jnp.concatenate([_stack3(s, axis=1) for s in slab_refs], axis=1)
     x0 = _dot(SL, f0)                                        # (G, TW)
     x1 = _dot(SL, f1)
     x2 = _dot(SL, f2)
-    p9 = jnp.concatenate(
-        [_stack3(x0, axis=0), _stack3(x1, axis=0), _stack3(x2, axis=0)],
-        axis=0)                                              # (9G, TW) bf16
-    power = _dot(m9, p9)                                     # (gb, TW)
+    if Y_REPEAT:
+        h = TH // 2
+        A = x0 - h * x1 + (h * h) * x2       # power at d=0 (y=-16)
+        B = x1 - TH * x2                     # d-linear term
+        g = x0.shape[0]
+        gb = g * TH
+        d = (lax.broadcasted_iota(jnp.int32, (gb, 1), 0) % TH
+             ).astype(jnp.float32)
+        rep = lambda p: jnp.repeat(p, TH, axis=0)
+        power = rep(A) + d * (rep(B) + d * rep(x2))
+    else:
+        p9 = jnp.concatenate(
+            [_stack3(x0, axis=0), _stack3(x1, axis=0), _stack3(x2, axis=0)],
+            axis=0)                                          # (9G, TW) bf16
+        power = _dot(m9, p9)                                 # (gb, TW)
     araw = jnp.exp2(power)
     alpha = jnp.where(araw >= ALPHA_EPS, jnp.minimum(araw, ALPHA_MAX), 0.0)
     cs = [_dot(SL, fc) for fc in fcs]                        # (G, TW) each
