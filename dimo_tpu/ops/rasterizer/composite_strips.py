@@ -416,7 +416,9 @@ def _fwd_call(slabs, evalid, count, out_ch: int):
     assert a == COEF_DIM
     g = _pick_g(cs, G_FWD)
     ncap = cs // g
-    m9 = make_m9(g)
+    # under Y_REPEAT the kernel never reads m9: pass a tile-sized dummy so
+    # no 9G-wide block is streamed/resident (frees ~2MB VMEM for the A/B)
+    m9 = make_m9(g) if not Y_REPEAT else jnp.zeros((8, 128), jnp.bfloat16)
     slab_spec = pl.BlockSpec((1, g, COEF_DIM), lambda b, kk: (b, kk, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, g, out_ch, ncap),
@@ -442,7 +444,7 @@ def _bwd_call(slabs, gout8, tfin, evalid, count):
     g = _pick_g(cs, G_BWD)
     ncap = cs // g
     gb = g * TH
-    m9 = make_m9(g)
+    m9 = make_m9(g) if not Y_REPEAT else jnp.zeros((8, 128), jnp.bfloat16)
     m9t3 = make_m9t3(g)
     slab_spec = pl.BlockSpec((1, g, COEF_DIM),
                              lambda b, kk: (b, ncap - 1 - kk, 0))
