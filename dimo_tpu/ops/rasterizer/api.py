@@ -77,9 +77,11 @@ def rasterize(
         (spatial parallelism; the reference's CUDA rasterizer is strictly
         single-GPU). Projection/binning replicate (cheap); the Pallas
         compositor runs on NB/n_sp count-balanced buffers per device and
-        the (C+1, NB*32, 128) planes concatenate over ICI. Gradients flow
-        through the shard_map transpose; results are bit-identical to the
-        unsharded path (same kernel, permuted buffer order).
+        the (C+1, NB*32, 128) planes concatenate over ICI. The forward
+        image is bit-identical to the unsharded path (same kernel, permuted
+        buffer order); gradients flow through the shard_map transpose and
+        differ by f32 reorder noise only (the buffer permutation reorders
+        the gather-VJP segment sums — see test_multichip's measured drift).
     """
     p = proj_mod.project(
         means3d, scales, quats, opacities, sh_coeffs,

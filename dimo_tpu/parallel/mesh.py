@@ -14,20 +14,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
-    return Mesh(np.array(devs[:n]), ("data",))
+    if len(devs) < n:
+        raise ValueError(f"requested a {n}-device '{axis}' mesh but only "
+                         f"{len(devs)} devices are visible")
+    return Mesh(np.array(devs[:n]), (axis,))
 
 
 def make_sp_mesh(n_devices: int | None = None) -> Mesh:
     """Mesh for SPATIAL parallelism of a single render: the rasterizer
     shards its count-balanced strip buffers over the "sp" axis (see
     ops/rasterizer/api.py `sp_mesh`) — the scaling axis for one large
-    frame, complementary to the batch "data" axis."""
-    devs = jax.devices()
-    n = n_devices or len(devs)
-    return Mesh(np.array(devs[:n]), ("sp",))
+    frame, complementary to the batch "data" axis. Raises when fewer
+    devices exist (a silent 1-device mesh would report sharded benchmark
+    numbers that actually measured the unsharded path)."""
+    return make_mesh(n_devices, axis="sp")
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

@@ -313,7 +313,10 @@ class Trainer:
         if load_stage:
             self.load_checkpoint(load_stage)
 
-        snap = bool(snapshot_every and snapshot_dir)
+        # an explicit load_stage request overrides any stale snapshot: the
+        # user asked to (re)start from a stage checkpoint, not to continue
+        # a previous run
+        snap = bool(snapshot_every and snapshot_dir and not load_stage)
         start_s1 = start_s2 = 0
         s2_prepared = False
         if snap:
@@ -328,27 +331,35 @@ class Trainer:
                 print(f"[snapshot] resumed {meta['phase']} after "
                       f"{meta['done']} iters (step {self.step})")
 
-        if iters_s1 > start_s1:
+        if iters_s1 > 0 and not s2_prepared:
             if start_s1 == 0:
                 self.prepare_train_s1()
-            for i in range(start_s1, iters_s1):
+            # min(): a snapshot beyond a REDUCED iters_s1 still runs
+            # finish_s1 (prune + checkpoint) instead of skipping the stage
+            for i in range(min(start_s1, iters_s1), iters_s1):
                 self.train_step_once(lpips_fn)
                 if snap and (i + 1) % snapshot_every == 0 and i + 1 < iters_s1:
                     self.save_snapshot(snapshot_dir, "s1", i + 1)
             self.finish_s1()
 
-        if iters_s2 > 0 and iters_s2 > start_s2:
+        if iters_s2 > 0:
             if not s2_prepared:
                 self.prepare_train_s2()
                 if snap:
                     # stage-transition snapshot: a failure early in s2 must
                     # not redo s1 (prepare_train_s2 rebuilt state/capacity)
                     self.save_snapshot(snapshot_dir, "s2", 0)
-            for i in range(start_s2, iters_s2):
+            for i in range(min(start_s2, iters_s2), iters_s2):
                 self.train_step_once(lpips_fn)
                 if snap and (i + 1) % snapshot_every == 0 and i + 1 < iters_s2:
                     self.save_snapshot(snapshot_dir, "s2", i + 1)
             self.finish_s2()
+
+        # the run completed: retire the snapshot so a RE-RUN of the same
+        # command trains fresh instead of silently resuming a finished run
+        # (which would mask code changes behind mostly-old training)
+        if snap:
+            self.clear_snapshot(snapshot_dir)
 
     def train_step_once(self, lpips_fn=None):
         opt = self.opt
@@ -671,11 +682,20 @@ class Trainer:
         atomic("snapshot_meta.json",
                lambda p: open(p, "w").write(json.dumps(meta)))
 
+    def clear_snapshot(self, dir_path: str):
+        for name in ("snapshot_meta.json", "snapshot_state.npz",
+                     "snapshot_cpts.npz"):
+            try:
+                os.remove(os.path.join(dir_path, name))
+            except FileNotFoundError:
+                pass
+
     def load_snapshot(self, dir_path: str):
-        """Restore a save_snapshot; returns its meta dict or None if absent.
-        The state tree is unflattened with the current treedef (leaf SHAPES
-        come from the snapshot, so capacity growth between snapshots is
-        fine); host batch RNG is reseeded from (seed, step)."""
+        """Restore a save_snapshot; returns its meta dict or None if absent
+        or inconsistent. The state tree is unflattened with the current
+        treedef (leaf SHAPES come from the snapshot, so capacity growth
+        between snapshots is fine); host batch RNG is reseeded from
+        (seed, step)."""
         import json
         from dataclasses import replace as _dc_replace
 
@@ -684,18 +704,31 @@ class Trainer:
             return None
         with open(meta_path) as f:
             meta = json.load(f)
+        new_state = ckpt_io.load_train_state(
+            os.path.join(dir_path, "snapshot_state.npz"), self.state)
+        # files are renamed state -> cpts -> meta; a crash between renames
+        # can mix generations. state.step mirrors the host step counter, so
+        # a mismatch detects the mix — refuse the snapshot rather than
+        # resume with a desynced LR/densify cadence or stale capacities.
+        state_step = int(np.asarray(jax.device_get(new_state.step)).ravel()[0])
+        if state_step != int(meta["step"]):
+            print(f"[snapshot] IGNORED inconsistent snapshot in {dir_path}: "
+                  f"state.step={state_step} != meta.step={meta['step']} "
+                  "(crash mid-save?); starting fresh")
+            return None
         if (int(meta["capacity"]) != self.mcfg.capacity
                 or int(meta["cpt_capacity"]) != self.mcfg.cpt_capacity):
             self.mcfg = _dc_replace(self.mcfg,
                                     capacity=int(meta["capacity"]),
                                     cpt_capacity=int(meta["cpt_capacity"]))
-        self.state = ckpt_io.load_train_state(
-            os.path.join(dir_path, "snapshot_state.npz"), self.state)
+        self.state = new_state
         self._replicate_state()
         cpts_path = os.path.join(dir_path, "snapshot_cpts.npz")
         if os.path.exists(cpts_path):
             with np.load(cpts_path) as z:
-                self.cpts_s1 = jnp.asarray(z["cpts_s1"])
+                # numpy, not jnp: sample_batch slices cpts_s1 host-side
+                # every step (a device gather would pay dispatch overhead)
+                self.cpts_s1 = np.asarray(z["cpts_s1"])
         self.step = int(meta["step"])
         self.stage = meta["stage"]
         self.tile_capacity = int(meta["tile_capacity"])

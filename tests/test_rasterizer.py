@@ -283,3 +283,54 @@ class TestProjectionCovariance:
         conic_ref = jnp.stack([c_ref / det, -b_ref / det, a_ref / det], -1)
         np.testing.assert_allclose(np.asarray(p.conic), np.asarray(conic_ref),
                                    rtol=2e-3, atol=1e-3)
+
+
+class TestCompositorKnobs:
+    """The DIMO_S_PER_BUF / DIMO_Y_REPEAT A/B knobs are read at module
+    import, so coverage needs a subprocess per combination: each child
+    renders fwd+grad through the strip path and asserts agreement with the
+    dense oracle. Keeps the knob branches from rotting between on-chip
+    sweeps."""
+
+    SCRIPT = r"""
+import sys
+import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from dimo_tpu.ops.rasterizer import rasterize, rasterize_dense
+from dimo_tpu.utils import cameras
+rng = np.random.RandomState(5)
+n = 300
+means = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+scales = jnp.asarray(np.exp(rng.uniform(-4.0, -2.6, (n, 3))), jnp.float32)
+quats = jnp.asarray(rng.randn(n, 4), jnp.float32)
+opac = jnp.asarray(rng.uniform(0.2, 0.95, (n, 1)), jnp.float32)
+sh = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 1, 3)), jnp.float32)
+cam = cameras.Camera.from_c2w(cameras.orbit_camera(10, 30, 2.0), 0.6, 0.6)
+bg = jnp.ones((3,))
+def run(fn, **kw):
+    def loss(op):
+        out = fn(means, scales, quats, op, sh, cam, 128, 128, bg, **kw)
+        return jnp.sum(out.image ** 2) + jnp.sum(out.depth ** 2), out.image
+    (l, img), g = jax.value_and_grad(loss, has_aux=True)(opac)
+    return np.asarray(img), np.asarray(g)
+img_t, g_t = run(rasterize, capacity=256)
+img_o, g_o = run(rasterize_dense)
+ie = np.abs(img_t - img_o).max()
+ge = np.abs(g_t - g_o).max() / (np.abs(g_o).max() or 1.0)
+assert ie < 2e-4, ("img", ie)
+assert ge < 2e-3, ("grad", ge)
+print("knob-combo ok: img", ie, "grad", ge)
+"""
+
+    @pytest.mark.parametrize("s_per_buf,y_repeat", [("8", "1"), ("16", "0")])
+    def test_knob_combo_matches_oracle(self, s_per_buf, y_repeat):
+        import os
+        import subprocess
+        import sys
+        env = dict(os.environ, DIMO_S_PER_BUF=s_per_buf,
+                   DIMO_Y_REPEAT=y_repeat, JAX_PLATFORMS="cpu")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run([sys.executable, "-c", self.SCRIPT], env=env,
+                           cwd=repo, capture_output=True, text=True,
+                           timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr

@@ -189,13 +189,49 @@ class TestElasticResume:
         assert len([1 for s, _ in steps if s == "s2"]) == 4
         assert np.isfinite(float(np.asarray(tr2.state.params.xyz).sum()))
 
-        # "crash" mid-s2: the transition + cadence snapshots (every=2) left
-        # a phase-s2 snapshot; a third process must skip s1 AND s2 prepare
-        meta3 = Trainer(opt, images, masks, meta).load_snapshot(snap)
-        assert meta3 is not None and meta3["phase"] == "s2"
+        # the COMPLETED run retired its snapshot: a re-run must train
+        # fresh, not silently resume a finished run (review finding)
+        assert Trainer(opt, images, masks, meta).load_snapshot(snap) is None
+
+        # "crash" mid-s2: build the exact post-prepare mid-stage state and
+        # snapshot it; a third process must skip s1 AND s2 prepare
         tr3 = Trainer(opt, images, masks, meta)
-        steps3 = []
-        tr3.log_fn = lambda s, st, m: steps3.append((s, st))
-        tr3.train_dynamic(6, 4, snapshot_every=2, snapshot_dir=snap)
-        assert all(s == "s2" for s, _ in steps3), steps3
-        assert len(steps3) == 4 - meta3["done"], (steps3, meta3)
+        tr3.prepare_train_s1()
+        for _ in range(6):
+            tr3.train_step_once()
+        tr3.finish_s1()
+        tr3.prepare_train_s2()
+        for _ in range(2):
+            tr3.train_step_once()
+        tr3.save_snapshot(snap, "s2", 2)
+
+        tr4 = Trainer(opt, images, masks, meta)
+        steps4 = []
+        tr4.log_fn = lambda s, st, m: steps4.append((s, st))
+        tr4.train_dynamic(6, 4, snapshot_every=2, snapshot_dir=snap)
+        assert all(s == "s2" for s, _ in steps4), steps4
+        assert len(steps4) == 2, steps4           # only iters 3 and 4
+
+    def test_load_stage_overrides_stale_snapshot(self, synthetic_data,
+                                                 tmp_path):
+        """An explicit load_stage request must not be hijacked by a stale
+        snapshot (review finding): snapshot resume is disabled entirely."""
+        images, masks, meta = synthetic_data
+        snap = str(tmp_path / "snap")
+        opt = tiny_opt(save_path=str(tmp_path / "run"))
+        tr = Trainer(opt, images, masks, meta)
+        tr.prepare_train_s1()
+        for _ in range(3):
+            tr.train_step_once()
+        tr.finish_s1()                            # writes the s1 checkpoint
+        tr.save_snapshot(snap, "s1", 3)
+
+        tr2 = Trainer(opt, images, masks, meta)
+        steps = []
+        tr2.log_fn = lambda s, st, m: steps.append((s, st))
+        tr2.train_dynamic(6, 2, load_stage="s1", snapshot_every=2,
+                          snapshot_dir=snap)
+        # load_stage="s1" skips s1 and trains a FRESH s2 from the
+        # checkpoint; the stale phase-s1 snapshot is ignored
+        assert all(s == "s2" for s, _ in steps), steps
+        assert len(steps) == 2, steps
