@@ -54,10 +54,21 @@ TILE_W = 128
 DUP_KR = 2
 DUP_KC = 2
 
-# depth quantization bits in the sort key (tile id occupies the high bits;
-# tile < 512 covers images up to 2048x1024 with 32x128 tiles)
-DEPTH_BITS = 22
-DEPTH_MAX = (1 << DEPTH_BITS) - 1
+# depth quantization bits in the sort key: the int32 key packs
+# (bin id << depth_bits) | quantized depth, so the split adapts to the bin
+# count — large images spend more bits on bins, smaller ones on depth.
+# 22 bits (the fixed round-2 value) up to 512 bins; >= DEPTH_BITS_MIN
+# always (65k depth levels keep per-bin ordering effectively exact).
+DEPTH_BITS_MAX = 22
+DEPTH_BITS_MIN = 16
+
+
+def _depth_bits_for(t: int) -> int:
+    bits = 31 - max(1, t - 1).bit_length()
+    bits = min(DEPTH_BITS_MAX, bits)
+    assert bits >= DEPTH_BITS_MIN, (
+        t, "bin count needs more int32 key bits than depth can spare")
+    return bits
 
 # gaussian-index bits in the packed sort VALUE word
 GID_BITS = 25
@@ -82,14 +93,14 @@ def num_tiles(height: int, width: int) -> tuple[int, int]:
     return height // TILE_H, width // TILE_W
 
 
-def _quantize_depth(depth, ok):
-    """Monotonic uint-ish depth key in [0, DEPTH_MAX]."""
+def _quantize_depth(depth, ok, depth_max: int):
+    """Monotonic uint-ish depth key in [0, depth_max]."""
     d = jnp.where(ok, depth, 0.0)
     lo = jnp.min(d)
     hi = jnp.max(jnp.where(ok, depth, -jnp.inf))
     hi = jnp.where(jnp.isfinite(hi), hi, lo + 1.0)
-    scale = DEPTH_MAX / jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip(((depth - lo) * scale), 0, DEPTH_MAX).astype(jnp.int32)
+    scale = depth_max / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(((depth - lo) * scale), 0, depth_max).astype(jnp.int32)
     return q
 
 
@@ -113,7 +124,8 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     """
     n = depth.shape[0]
     t = nrows * ncols
-    assert t < 512, (t, "bin-id field in the int32 sort key supports <512 bins")
+    depth_bits = _depth_bits_for(t)   # bin id rides the high int32 key bits
+    depth_max = (1 << depth_bits) - 1
 
     cmin = jnp.floor((mean2d[:, 0] - radius) / bin_w).astype(jnp.int32)
     cmax = jnp.floor((mean2d[:, 0] + radius) / bin_w).astype(jnp.int32)
@@ -127,7 +139,7 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     rmin = jnp.clip(rmin, 0, nrows - 1)
     rmax = jnp.clip(rmax, 0, nrows - 1)
 
-    dq = _quantize_depth(depth, alive)                                  # (N,)
+    dq = _quantize_depth(depth, alive, depth_max)                       # (N,)
     gid = jnp.arange(n, dtype=jnp.int32)
 
     small = alive & (cmax - cmin < DUP_KC) & (rmax - rmin < DUP_KR)
@@ -150,15 +162,15 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
             if dc:
                 need = need & cspan
             b = (rmin + dr) * ncols + (cmin + dc)
-            keys.append(jnp.where(need, (b << DEPTH_BITS) | dq, sentinel))
+            keys.append(jnp.where(need, (b << depth_bits) | dq, sentinel))
             vals.append(gid)
     skey, sval = jax.lax.sort(
         (jnp.concatenate(keys), jnp.concatenate(vals)), num_keys=1)
     nd = skey.shape[0]
 
-    tile_base = jnp.arange(t, dtype=jnp.int32) << DEPTH_BITS
+    tile_base = jnp.arange(t, dtype=jnp.int32) << depth_bits
     starts = jnp.searchsorted(skey, tile_base)                          # (T,)
-    ends = jnp.searchsorted(skey, tile_base + (1 << DEPTH_BITS))
+    ends = jnp.searchsorted(skey, tile_base + (1 << depth_bits))
     seg_len = ends - starts                                             # (T,)
     # ONE row gather of (key,val) pairs per bin window: two scalar-element
     # gathers cost ~60% more than one 8-byte-row gather (measured)
@@ -166,7 +178,7 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
     inc = offs < ends[:, None]                                          # (T,C)
     rows = pairs[jnp.minimum(offs, nd - 1)]                             # (T,C,2)
-    small_dq = jnp.where(inc, rows[..., 0] & DEPTH_MAX, DEPTH_MAX + 1)
+    small_dq = jnp.where(inc, rows[..., 0] & depth_max, depth_max + 1)
     small_idx = jnp.where(inc, rows[..., 1], n)
 
     # --- big path: compact the (rare) oversized gaussians globally first.
@@ -174,16 +186,16 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     # gaussians globally (a correctness cliff), while capacity truncation
     # only drops per-tile depth tails.
     k_big = min(1024, n)
-    big_key = jnp.where(big, dq, DEPTH_MAX + 1)
+    big_key = jnp.where(big, dq, depth_max + 1)
     neg_bd, big_i = jax.lax.top_k(-big_key, k_big)                      # by depth
     big_dq_sel = -neg_bd                                                # (Kb,)
-    bs_valid = big_dq_sel <= DEPTH_MAX
+    bs_valid = big_dq_sel <= depth_max
     tr = (jnp.arange(t, dtype=jnp.int32) // ncols)[:, None]
     tc = (jnp.arange(t, dtype=jnp.int32) % ncols)[:, None]
     ovb = (bs_valid[None, :]
            & (tc >= cmin[big_i][None, :]) & (tc <= cmax[big_i][None, :])
            & (tr >= rmin[big_i][None, :]) & (tr <= rmax[big_i][None, :]))
-    big_dq_t = jnp.where(ovb, big_dq_sel[None, :], DEPTH_MAX + 1)       # (T,Kb)
+    big_dq_t = jnp.where(ovb, big_dq_sel[None, :], depth_max + 1)       # (T,Kb)
     big_idx = jnp.where(ovb, big_i[None, :], n)
 
     # --- merge by depth per tile (row sort over C + Kb columns)
@@ -191,7 +203,7 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     mv = jnp.concatenate([small_idx, big_idx], axis=1)
     mk, mv = jax.lax.sort((mk, mv), num_keys=1, dimension=1)
     idx = mv[:, :capacity]
-    valid_slot = mk[:, :capacity] <= DEPTH_MAX
+    valid_slot = mk[:, :capacity] <= depth_max
 
     count = jnp.sum(valid_slot.astype(jnp.int32), axis=1)
     # exact per-tile totals: duplicate keys make the small segment lengths

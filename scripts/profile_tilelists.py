@@ -33,7 +33,8 @@ H = W = 512
 NROWS, NCOLS = H // Tm.TILE_H, W // Tm.TILE_W
 T, C = NROWS * NCOLS, 1024
 N = mean2d.shape[0]
-DEPTH_BITS, DEPTH_MAX = Tm.DEPTH_BITS, Tm.DEPTH_MAX
+DEPTH_BITS = Tm._depth_bits_for(T)
+DEPTH_MAX = (1 << DEPTH_BITS) - 1
 
 
 @jax.jit
@@ -46,7 +47,7 @@ def keybuild(mean2d, radius, depth, ok):
     alive = ok & (radius > 0.0) & on
     cmin = jnp.clip(cmin, 0, NCOLS - 1); cmax = jnp.clip(cmax, 0, NCOLS - 1)
     rmin = jnp.clip(rmin, 0, NROWS - 1); rmax = jnp.clip(rmax, 0, NROWS - 1)
-    dq = Tm._quantize_depth(depth, alive)
+    dq = Tm._quantize_depth(depth, alive, DEPTH_MAX)
     gid = jnp.arange(N, dtype=jnp.int32)
     small = alive & (cmax - cmin < 2) & (rmax - rmin < 2)
     big = alive & ~small

@@ -24,13 +24,14 @@ def _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bin_h, bin_w):
     alive = ok & (radius > 0) & on
     cmin, cmax = np.clip(cmin, 0, ncols - 1), np.clip(cmax, 0, ncols - 1)
     rmin, rmax = np.clip(rmin, 0, nrows - 1), np.clip(rmax, 0, nrows - 1)
-    # reproduce _quantize_depth
+    # reproduce _quantize_depth (adaptive depth bits per bin count)
+    depth_max = (1 << T._depth_bits_for(nrows * ncols)) - 1
     d = np.where(alive, depth, 0.0)
     lo = d.min()
     hi = np.where(alive, depth, -np.inf).max()
     hi = hi if np.isfinite(hi) else lo + 1.0
-    scale = T.DEPTH_MAX / max(hi - lo, 1e-6)
-    dq = np.clip((depth - lo) * scale, 0, T.DEPTH_MAX).astype(np.int64)
+    scale = depth_max / max(hi - lo, 1e-6)
+    dq = np.clip((depth - lo) * scale, 0, depth_max).astype(np.int64)
     out = {}
     for tr in range(nrows):
         for tc in range(ncols):
@@ -113,6 +114,26 @@ class TestBinListsBruteForce:
                                     nrows, ncols, bh, bw, 8)
         assert count.sum() == 0 and overflow == 0
         assert (idx == n).all()
+
+    def test_beyond_512_bins(self):
+        """>512 bins (e.g. 1024x1024 images under 32x32 strips) exercise the
+        ADAPTIVE key split: bin ids spill past the round-2 fixed 22-bit
+        depth field, which capped images at 512 bins — the CUDA reference
+        has no such limit."""
+        rng = np.random.RandomState(3)
+        nrows, ncols, bh, bw = 32, 32, 32, 32          # 1024 bins
+        n, cap = 200, 32
+        mean2d, radius, depth, ok = _scene(rng, n, 1024, 2.0, 24.0)
+        idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                    nrows, ncols, bh, bw, cap)
+        brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
+        total_drop = 0
+        for t, (members, dq) in brute.items():
+            got = list(idx[t][:count[t]])
+            assert sorted(got) == sorted(members[:cap]), t
+            assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
+            total_drop += max(len(members) - cap, 0)
+        assert overflow == total_drop
 
     def test_duplicate_depth_keys_keep_membership(self):
         # colliding quantized depths: order within ties is unspecified,
