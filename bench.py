@@ -106,6 +106,8 @@ def main() -> None:
     # path always pays (rgb+depth+normal FMAs)
     fps = timed_fps(3, ROUNDS)
     fps7 = timed_fps(7, ROUNDS // 2)
+    from dimo_tpu.ops.rasterizer import strips as strips_mod
+    from dimo_tpu.ops.rasterizer import composite_strips as cs_mod
     print(json.dumps({
         "metric": "render_fps_512_s2_100k",
         "value": round(fps, 2),
@@ -113,6 +115,9 @@ def main() -> None:
         "vs_baseline": round(fps / REFERENCE_FPS_A100, 3),
         "fps_ch7": round(fps7, 2),
         "scene": f"shell-v2-{scene_hash}",
+        # compositor variant that produced this number (A/B knobs)
+        "s_per_buf": strips_mod.S_PER_BUF,
+        "y_repeat": cs_mod.Y_REPEAT,
         **check,
     }))
 
