@@ -56,6 +56,7 @@ TH = STRIP_H
 OUT_CH = 7            # r g b depth nx ny nz (differentiable path)
 ALPHA_EPS = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EXIT = 1e-4         # fwd-only chunk early-exit threshold (CUDA parity)
 LN2 = 0.6931471805599453
 
 G_FWD = int(os.environ.get("DIMO_SG_FWD", "64"))
@@ -266,7 +267,7 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
     return alpha, araw, cs, SL
 
 
-def _fwd_kernel(g, out_ch, ncap, *refs):
+def _fwd_kernel(g, out_ch, ncap, early, *refs):
     slab_refs = refs[:S_PER_BUF]
     m9_ref, ev_ref, cnt_ref, out_ref, t_ref = refs[S_PER_BUF:]
     b = pl.program_id(0)
@@ -279,6 +280,17 @@ def _fwd_kernel(g, out_ch, ncap, *refs):
         for ch in range(out_ch):
             out_ref[ch] = jnp.zeros((TH, BUF_W), jnp.float32)
         t_ref[...] = jnp.ones((TH, BUF_W), jnp.float32)
+
+    if early:
+        # CUDA-parity early termination (latent_gs_renderer.py:1255-1277
+        # contract: per-pixel stop at T < 1e-4), at chunk granularity: once
+        # EVERY pixel of the buffer's four strips is saturated, remaining
+        # chunks skip all compute. Round 2 measured this useless on (32,128)
+        # tiles (background pixels never saturate); (32,32) strips are
+        # fully-interior far more often. FORWARD-ONLY kernels — the
+        # differentiable path composites everything so the backward's
+        # division replay stays exact. Read placed after _init (in-order).
+        active = active & (jnp.max(t_ref[...]) >= T_EXIT)
 
     @pl.when(active)
     def _blend():
@@ -411,7 +423,7 @@ def _bwd_kernel(g, ncap, *refs):
             dref[...] = _unshift_grad(acc, sh_uv[s][1], sh_uv[s][2])[None]
 
 
-def _fwd_call(slabs, evalid, count, out_ch: int):
+def _fwd_call(slabs, evalid, count, out_ch: int, early_exit: bool = False):
     nb, cs, a = slabs[0].shape
     assert a == COEF_DIM
     g = _pick_g(cs, G_FWD)
@@ -421,7 +433,7 @@ def _fwd_call(slabs, evalid, count, out_ch: int):
     m9 = make_m9(g) if not Y_REPEAT else jnp.zeros((8, 128), jnp.bfloat16)
     slab_spec = pl.BlockSpec((1, g, COEF_DIM), lambda b, kk: (b, kk, 0))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, g, out_ch, ncap),
+        functools.partial(_fwd_kernel, g, out_ch, ncap, early_exit),
         grid=(nb, ncap),
         in_specs=[slab_spec] * S_PER_BUF + [
             pl.BlockSpec(m9.shape, lambda b, kk: (0, 0)),
@@ -477,10 +489,13 @@ def _bwd_call(slabs, gout8, tfin, evalid, count):
 
 
 def composite_strips_infer(slabs, evalid, count, out_ch: int = 3):
-    """Forward-only composite of the first out_ch channels. Returns
-    (out_ch+1, NB*32, 128) buffer-major planes — the LAST channel is the
-    final transmittance (reassemble with strips.reassemble)."""
-    return _fwd_call(tuple(slabs), evalid, count, out_ch)
+    """Forward-only composite of the first out_ch channels, with
+    chunk-level early termination at T < 1e-4 (image differs from the
+    exhaustive path by <= T_EXIT-weighted tail contributions, the same
+    bound as the CUDA per-pixel terminate). Returns (out_ch+1, NB*32, 128)
+    buffer-major planes — the LAST channel is the final transmittance
+    (reassemble with strips.reassemble)."""
+    return _fwd_call(tuple(slabs), evalid, count, out_ch, early_exit=True)
 
 
 @jax.custom_vjp

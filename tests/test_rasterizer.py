@@ -334,3 +334,33 @@ print("knob-combo ok: img", ie, "grad", ge)
                            cwd=repo, capture_output=True, text=True,
                            timeout=600)
         assert r.returncode == 0, r.stdout + r.stderr
+
+
+class TestEarlyTermination:
+    def test_infer_early_exit_matches_exhaustive(self):
+        """A deep stack of near-opaque gaussians saturates T quickly; the
+        infer kernel's chunk-level early exit (T < 1e-4, CUDA-parity
+        contract) must change the image only by the T_EXIT-weighted tail."""
+        from dimo_tpu.ops.rasterizer import rasterize
+
+        rng = np.random.RandomState(9)
+        n = 2000
+        # tight cluster: every strip it touches saturates within ~20 entries
+        means = jnp.asarray(rng.uniform(-0.15, 0.15, (n, 3)), jnp.float32)
+        scales = jnp.asarray(np.full((n, 3), np.exp(-2.6)), jnp.float32)
+        quats = jnp.asarray(rng.randn(n, 4), jnp.float32)
+        opac = jnp.full((n, 1), 0.95, jnp.float32)
+        sh = jnp.asarray(rng.uniform(-0.5, 0.5, (n, 1, 3)), jnp.float32)
+        cam = cameras.Camera.from_c2w(cameras.orbit_camera(10, 30, 2.0),
+                                      0.6, 0.6)
+        bg = jnp.ones((3,))
+
+        def img(channels):
+            out = rasterize(means, scales, quats, opac, sh, cam, 128, 128,
+                            bg, capacity=1024, channels=channels)
+            return np.asarray(out.image), np.asarray(out.alpha)
+
+        img3, a3 = img(3)       # infer path: early exit ON
+        img7, a7 = img(7)       # differentiable path: exhaustive
+        assert np.abs(img3 - img7).max() < 5e-4, np.abs(img3 - img7).max()
+        assert np.abs(a3 - a7).max() < 5e-4
