@@ -62,8 +62,10 @@ LN2 = 0.6931471805599453
 G_FWD = int(os.environ.get("DIMO_SG_FWD", "64"))
 G_BWD = int(os.environ.get("DIMO_SG_BWD", "32"))
 # y-expansion route in _chunk_planes: "1" = sublane-repeat + column FMAs
-# (zero MXU), "0" = M9 one-hot matmul. A/B knob until measured on chip.
-Y_REPEAT = os.environ.get("DIMO_Y_REPEAT", "0") == "1"
+# (zero MXU), "0" = M9 one-hot matmul. On-chip sweep 2026-08-18 (cap1024,
+# flagship ch3): 4/repeat 173.4 fps > 8/repeat 173.0 > 8/matmul 171.6 >
+# 16/matmul 167.0 > 4/matmul 165.6 — repeat wins, so it is the default.
+Y_REPEAT = os.environ.get("DIMO_Y_REPEAT", "1") == "1"
 
 
 def _interpret(which: str = "") -> bool:

@@ -44,7 +44,10 @@ STRIP_W = 32
 # composites (each in its own 32-lane window). 4 = one native 128-lane
 # VREG row; 8/16 widen the planes to 2/4 lane-tiles, halving/quartering
 # the serial instruction stream per element-op (A/B knob; total element
-# ops, exp2 count and MXU MACs are identical across settings).
+# ops, exp2 count and MXU MACs are identical across settings). On-chip
+# sweep 2026-08-18: 4 wins under Y_REPEAT (173.4 vs 173.0 fps at 8;
+# 16 loses outright) — wider planes don't pay once the y-expansion
+# matmul is gone.
 S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", "4"))
 BUF_W = S_PER_BUF * STRIP_W
 
