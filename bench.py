@@ -114,6 +114,25 @@ def main() -> None:
     fps = timed_fps(3, ROUNDS, CAP)
     fps7 = timed_fps(7, ROUNDS // 2, CAP)
     fps_cap512 = timed_fps(3, ROUNDS // 2, 512)
+
+    # capacity self-evidence (VERDICT r3 #6): the headline is only honest if
+    # CAP is truncation-converged on THIS scene — measure the image delta vs
+    # an effectively-lossless capacity ON CHIP every bench run, rather than
+    # citing the one-off CPU study.
+    def render_once(capacity: int):
+        @jax.jit
+        def f(p, t):
+            out = render(cfg, p, aux, cam, t, "s2", 1, 512, 512, bg,
+                         knn_cache=knn_cache, capacity=capacity, channels=3)
+            return out["image"], out["overflow"]
+        img, ovf = f(params, 0.0)
+        return np.asarray(img), int(ovf)
+
+    img_cap, ovf_cap = render_once(CAP)
+    img_ref, ovf_ref = render_once(4096)
+    dd = np.abs(img_cap - img_ref)
+    cap_maxdiff = float(dd.max())
+    cap_badpx = float((dd > 1.0 / 255.0).mean())
     from dimo_tpu.ops.rasterizer import strips as strips_mod
     from dimo_tpu.ops.rasterizer import composite_strips as cs_mod
     print(json.dumps({
@@ -124,6 +143,11 @@ def main() -> None:
         "fps_ch7": round(fps7, 2),
         "fps_cap512": round(fps_cap512, 2),
         "capacity": CAP,
+        # on-chip convergence evidence for `capacity` (vs cap4096 render)
+        "cap_maxdiff_vs4096": round(cap_maxdiff, 5),
+        "cap_badpx_gt_1_255": round(cap_badpx, 6),
+        "overflow_at_cap": ovf_cap,
+        "overflow_at_4096": ovf_ref,
         "scene": f"shell-v2-{scene_hash}",
         # compositor variant that produced this number (A/B knobs)
         "s_per_buf": strips_mod.S_PER_BUF,

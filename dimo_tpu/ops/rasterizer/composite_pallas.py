@@ -1,4 +1,13 @@
-"""Pallas TPU alpha-compositing kernel with analytic custom VJP.
+"""Pallas TPU alpha-compositing kernel with analytic custom VJP (TILE
+variant — the round-2 design, deliberately retained).
+
+STATUS (round 4): NOT on the product path. `api.py` routes every render
+through the strip compositor (composite_strips.py), which supersedes this
+kernel (same contract, ~4x less per-entry pixel work). This file is kept
+ON PURPOSE as the pinned comparison baseline for the profile_* scripts and
+as a second independent implementation the oracle tests cross-check; it is
+fully tested (tests/test_rasterizer.py) so it cannot rot silently. Delete
+it if the strip design ever changes incompatibly rather than porting it.
 
 The only hand-differentiated piece of the rasterizer. Forward consumes
 fixed-capacity depth-ordered per-tile attribute slabs (built in tiles.py) and

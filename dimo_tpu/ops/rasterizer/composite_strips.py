@@ -237,12 +237,13 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
     The y expansion power(g*TH+y) = X0 + y*X1 + y^2*X2 has two routes
     (DIMO_Y_REPEAT; fwd and bwd replay share this helper, so the
     bit-identical-alpha invariant holds under either):
-      matmul (default): power = M9 @ stack3-stacked X planes — one big
-        MXU op whose contraction is a one-hot replication (gb*9G*TW MACs,
-        ~9/(9G) useful).
-      repeat: re-center to d = y+16 via Horner (A,B,C combos at (G, TW)),
-        sublane-repeat each to (gb, TW), two column FMAs — zero MXU work,
-        exact f32 (no bf16 splits needed)."""
+      repeat (default; on-chip sweep winner 2026-08-18): re-center to
+        d = y+16 via Horner (A,B,C combos at (G, TW)), sublane-repeat each
+        to (gb, TW), two column FMAs — zero MXU work, exact f32 (no bf16
+        splits needed).
+      matmul (A/B alternative, DIMO_Y_REPEAT=0): power = M9 @ stack3-stacked
+        X planes — one big MXU op whose contraction is a one-hot replication
+        (gb*9G*TW MACs, ~9/(9G) useful)."""
     f0, f1, f2, fcs = _feat_mats(out_ch)
     SL = jnp.concatenate([_stack3(s, axis=1) for s in slab_refs], axis=1)
     x0 = _dot(SL, f0)                                        # (G, TW)

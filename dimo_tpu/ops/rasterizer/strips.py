@@ -46,8 +46,8 @@ STRIP_W = 32
 # the serial instruction stream per element-op (A/B knob; total element
 # ops, exp2 count and MXU MACs are identical across settings). On-chip
 # sweep 2026-08-18: 4 wins under Y_REPEAT (173.4 vs 173.0 fps at 8;
-# 16 loses outright) — wider planes don't pay once the y-expansion
-# matmul is gone.
+# 16/matmul loses outright at 167.0, 16/repeat unmeasured) — wider planes
+# don't pay once the y-expansion matmul is gone.
 S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", "4"))
 BUF_W = S_PER_BUF * STRIP_W
 

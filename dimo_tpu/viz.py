@@ -11,8 +11,12 @@ import numpy as np
 
 
 def _colormap_jet(n: int) -> np.ndarray:
-    from matplotlib import cm
-    cmap = cm.get_cmap("jet")
+    try:                      # matplotlib >= 3.6 (cm.get_cmap removed in 3.11)
+        from matplotlib import colormaps
+        cmap = colormaps["jet"]
+    except ImportError:       # older matplotlib
+        from matplotlib import cm
+        cmap = cm.get_cmap("jet")
     return np.array([np.array(cmap(i / max(1, float(n - 1)))[:3]) * 255
                      for i in range(n)], dtype=np.int32)
 
