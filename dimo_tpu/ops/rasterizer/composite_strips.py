@@ -7,19 +7,22 @@ strip — so per-entry pixel work is a (32,32) strip instead of the old
 (32,128) tile, at 1.39x entry duplication (measured): ~3x less plane math
 for the same image.
 
-Chunk math is three MXU stages, all exact-in-bf16 by construction:
-  1. X features:   X_yp = SL @ F_yp     (G, TW)  yp in {0,1,2}
+Chunk math is MXU stages, all exact-in-bf16 by construction, merged into
+as FEW dots as possible (per-chunk matmuls inside the grid are
+latency-bound and don't pipeline — dot COUNT, not MACs, is what a chunk
+pays; round-2 measurement):
+  1. X features + colors, ONE dot: [X0|X1|X2|C_0..C_ch] = SL @ F_all.
      SL = lane-stacked 3-term bf16 split of the four (G,16) coefficient
-     slabs; F_yp rows pick [x^2, x, 1] per quantity, strip-masked. Strip
-     coordinates are CENTER-local (|x|,|y| <= 16), so x^2 <= 256 and every
-     F entry is an exact bf16 integer.
-  2. y expansion:  power = M9 @ [stack3(X0); stack3(X1); stack3(X2)]
-     M9 (gb, 9G) carries one-hot row->entry replication weighted by
-     [1, y, y^2] (again exact bf16: y in [-16,15]); streamed in once as a
+     slabs; F_all lane-blocks pick [x^2, x, 1] per quantity / place each
+     channel value, strip-masked. Strip coordinates are CENTER-local
+     (|x|,|y| <= 16), so x^2 <= 256 and every F entry is an exact bf16
+     integer. The serial loop row-broadcasts C_ch[j] — no (gb, TW) color
+     planes are ever materialized.
+  2. y expansion:  default = sublane repeats + Horner column FMAs (zero
+     MXU); A/B alternative power = M9 @ [stack3(X0); stack3(X1);
+     stack3(X2)], M9 (gb, 9G) one-hot row->entry replication weighted by
+     [1, y, y^2] (again exact bf16: y in [-16,15]), streamed in once as a
      resident input, NOT rebuilt per grid step.
-  3. colors:       C_ch = SL @ Fc_ch    (G, TW)
-     per-channel strip-masked placement; the serial loop row-broadcasts
-     C_ch[j] — no (gb, TW) color planes are ever materialized.
 
 alpha = exp2(power) (coefficients are log2-scaled in strips.py): one
 transcendental per chunk. The serial front-to-back recurrence stays
@@ -128,61 +131,89 @@ def make_m9t3(g: int) -> jnp.ndarray:
     return jnp.concatenate([m3t] * 3, axis=1).astype(jnp.bfloat16)
 
 
-def _bwd_feat_mats():
-    """(3*BUF_W, S_PER_BUF*COEF_DIM) bf16 backward feature matrices: row x
-    (tiled 3x for the dX split), lane s*16+q; entry = strip-masked
-    feat_yp,q(x). Single-block (NOT t-tiled) so d slab = dX @ Fb is counted
-    once."""
-    rows = 3 * BUF_W
+def _stackk(x, axis: int, k: int):
+    """k-term bf16 split stacked along `axis`. k=3 is exact for f32 (~24
+    mantissa bits, same as _stack3); k=2 (~16 bits, rel err ~2^-16) is the
+    backward-only setting for gradient reductions where 1e-5 relative noise
+    is far inside the test/selfcheck gates."""
+    if k == 3:
+        return _stack3(x, axis)
+    h1 = x.astype(jnp.bfloat16)
+    h2 = (x - h1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([h1, h2], axis=axis)
+
+
+# split terms for backward-only reductions (dX, contrib, ball); the forward
+# replay's SL split stays 3-term (exact) to keep alpha bit-identical.
+BWD_K = int(os.environ.get("DIMO_BWD_K", "2"))
+
+
+def _bwd_fb():
+    """(3*BWD_K*BUF_W, S_PER_BUF*COEF_DIM) bf16 merged backward feature
+    matrix: ONE dot turns [stackk(dX0)|stackk(dX1)|stackk(dX2)] into the
+    (G, 64) coefficient-lane grads (was three dots; tiny in-kernel matmuls
+    are latency-bound and don't pipeline across a chunk). Row layout
+    yp*(K*BUF_W) + t*BUF_W + x; entry = strip-masked feat_yp,q(x)."""
+    rows = 3 * BWD_K * BUF_W
     cols = S_PER_BUF * COEF_DIM
     r = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     lane = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    yp = r // (BWD_K * BUF_W)
     x = r % BUF_W
     ss = lane // COEF_DIM
     q = lane % COEF_DIM
     on = (x // STRIP_W) == ss
     xl = (x % STRIP_W - STRIP_W // 2).astype(jnp.float32)
-    zero = jnp.zeros_like(xl)
+    f = jnp.zeros_like(xl)
+    for ypp, qq, feat in ((0, C_A, xl * xl), (0, C_D, xl), (0, C_F, 1.0),
+                          (1, C_B, xl), (1, C_E, 1.0), (2, C_C, 1.0)):
+        f = jnp.where(on & (yp == ypp) & (q == qq), feat, f)
+    return f.astype(jnp.bfloat16)
 
-    def mk(pairs):
-        f = zero
-        for qq, feat in pairs:
-            f = jnp.where(on & (q == qq), feat, f)
-        return f.astype(jnp.bfloat16)
 
-    fb0 = mk([(C_A, xl * xl), (C_D, xl), (C_F, 1.0)])
-    fb1 = mk([(C_B, xl), (C_E, 1.0)])
-    fb2 = mk([(C_C, 1.0)])
-    return fb0, fb1, fb2
+def _bwd_ssel(sc: int):
+    """(BWD_K*OUT_CH*BUF_W, OUT_CH*sc) bf16 block-diagonal strip-column
+    reducer: ONE dot turns stackk(w7 * grep_all) into ball[r, ch*sc+s] =
+    sum_{x in strip s} (w*grep_ch)[r, x] for ALL channels (was OUT_CH dots;
+    the block-diagonal zeros are free MXU MACs, the 6 saved dot latencies
+    are not)."""
+    rows = BWD_K * OUT_CH * BUF_W
+    cols = OUT_CH * sc
+    r = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    ch = (r % (OUT_CH * BUF_W)) // BUF_W
+    x = r % BUF_W
+    on = (ch == c // sc) & ((x // STRIP_W) == c % sc) & (c % sc < S_PER_BUF)
+    return on.astype(jnp.bfloat16)
 
 
 def _feat_mats(out_ch: int):
-    """Constant x-feature matrices, (3S*COEF_DIM, BUF_W) each.
+    """ONE constant feature matrix (3S*COEF_DIM, (3+out_ch)*BUF_W).
 
     Rows follow the SL lane layout s*48 + t*16 + q (strip-major, split-term,
-    quantity); lanes are pixels. Entries are strip-masked integer powers of
-    center-local x (exact bf16). F0/F1/F2 are the y^0/y^1/y^2 feature rows
-    of the power quadratic; Fc[ch] places channel ch's value per strip."""
+    quantity); lane blocks of BUF_W are [F0 | F1 | F2 | Fc_0..Fc_{out_ch-1}]:
+    the y^0/y^1/y^2 feature rows of the power quadratic and the per-channel
+    value placement, strip-masked integer powers of center-local x (exact
+    bf16). Merged so the chunk pays ONE MXU dot instead of 3+out_ch —
+    per-chunk matmuls inside the grid are latency-bound and don't pipeline
+    (round-2 measurement), so dot COUNT is what the forward pays for."""
     rows = 3 * S_PER_BUF * COEF_DIM
-    row = lax.broadcasted_iota(jnp.int32, (rows, BUF_W), 0)
-    lane = lax.broadcasted_iota(jnp.int32, (rows, BUF_W), 1)
+    width = (3 + out_ch) * BUF_W
+    row = lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (rows, width), 1)
     ss = row // (3 * COEF_DIM)
     q = row % COEF_DIM
-    on = (lane // STRIP_W) == ss
-    xl = (lane % STRIP_W - STRIP_W // 2).astype(jnp.float32)
-    zero = jnp.zeros_like(xl)
-
-    def mk(pairs):
-        f = zero
-        for qq, feat in pairs:
-            f = jnp.where(on & (q == qq), feat, f)
-        return f.astype(jnp.bfloat16)
-
-    f0 = mk([(C_A, xl * xl), (C_D, xl), (C_F, 1.0)])
-    f1 = mk([(C_B, xl), (C_E, 1.0)])
-    f2 = mk([(C_C, 1.0)])
-    fcs = [mk([(C_R + ch, 1.0)]) for ch in range(out_ch)]
-    return f0, f1, f2, fcs
+    blk = lane // BUF_W
+    x = lane % BUF_W
+    on = (x // STRIP_W) == ss
+    xl = (x % STRIP_W - STRIP_W // 2).astype(jnp.float32)
+    f = jnp.zeros_like(xl)
+    pairs = [(0, C_A, xl * xl), (0, C_D, xl), (0, C_F, 1.0),
+             (1, C_B, xl), (1, C_E, 1.0), (2, C_C, 1.0)]
+    pairs += [(3 + ch, C_R + ch, 1.0) for ch in range(out_ch)]
+    for bb, qq, feat in pairs:
+        f = jnp.where(on & (blk == bb) & (q == qq), feat, f)
+    return f.astype(jnp.bfloat16)
 
 
 def _shift_slab(slab, sc, sr):
@@ -244,11 +275,12 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
       matmul (A/B alternative, DIMO_Y_REPEAT=0): power = M9 @ stack3-stacked
         X planes — one big MXU op whose contraction is a one-hot replication
         (gb*9G*TW MACs, ~9/(9G) useful)."""
-    f0, f1, f2, fcs = _feat_mats(out_ch)
     SL = jnp.concatenate([_stack3(s, axis=1) for s in slab_refs], axis=1)
-    x0 = _dot(SL, f0)                                        # (G, TW)
-    x1 = _dot(SL, f1)
-    x2 = _dot(SL, f2)
+    XC = _dot(SL, _feat_mats(out_ch))        # (G, (3+out_ch)*TW), one dot
+    x0 = XC[:, 0 * BUF_W:1 * BUF_W]                          # (G, TW)
+    x1 = XC[:, 1 * BUF_W:2 * BUF_W]
+    x2 = XC[:, 2 * BUF_W:3 * BUF_W]
+    cs = [XC[:, (3 + ch) * BUF_W:(4 + ch) * BUF_W] for ch in range(out_ch)]
     if Y_REPEAT:
         h = TH // 2
         A = x0 - h * x1 + (h * h) * x2       # power at d=0 (y=-16)
@@ -266,7 +298,6 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
         power = _dot(m9, p9)                                 # (gb, TW)
     araw = jnp.exp2(power)
     alpha = jnp.where(araw >= ALPHA_EPS, jnp.minimum(araw, ALPHA_MAX), 0.0)
-    cs = [_dot(SL, fc) for fc in fcs]                        # (G, TW) each
     return alpha, araw, cs, SL
 
 
@@ -325,7 +356,7 @@ def _bwd_kernel(g, ncap, *refs):
     (m9_ref, m9t3_ref, gout_ref, tfin_ref, ev_ref, cnt_ref
      ) = refs[S_PER_BUF:S_PER_BUF + 6]
     dslab_refs = refs[S_PER_BUF + 6:2 * S_PER_BUF + 6]
-    gs_ref, t_ref, dpow_ref, w_ref = refs[2 * S_PER_BUF + 6:]
+    gs_ref, t_ref = refs[2 * S_PER_BUF + 6:]
     gb = g * TH
     b = pl.program_id(0)
     kk = pl.program_id(1)
@@ -352,65 +383,72 @@ def _bwd_kernel(g, ncap, *refs):
         slabs = tuple(x[0] for x in sh_uv)
         alpha_all, araw_all, cs, SL = _chunk_planes(slabs, m9_ref[...],
                                                     OUT_CH)
+
+        # --- slim serial pass 1: transmittance chain only (division replay
+        # of the forward, same op order: T_i = T * (1/(1-a))). Everything
+        # that used to ride inside the serial loop (CG, dalpha, gate, dpow,
+        # w) is batched below — the round-3 kernel paid ~17 dependent vector
+        # ops per slot; the chain itself is 3.
         T_run = t_ref[...]
-        GS = gs_ref[...]
+        t_list = [None] * g
         for j in reversed(range(g)):
-            sl = slice(j * TH, (j + 1) * TH)
-            a = alpha_all[sl, :]
-            ar = araw_all[sl, :]
-            inv_om = 1.0 / (1.0 - a)
-            T_i = T_run * inv_om
-            CG = gouts[0] * cs[0][j:j + 1, :]
-            for ch in range(1, OUT_CH):
-                CG = CG + gouts[ch] * cs[ch][j:j + 1, :]
-            dalpha = CG * T_i - GS * inv_om
-            gate = (ar >= ALPHA_EPS) & (ar < ALPHA_MAX)
-            d_araw = jnp.where(gate, dalpha, 0.0)
-            aw = a * T_i
-            # d power = d_araw * exp2(power) * ln2
-            dpow_ref[sl, :] = d_araw * ar * LN2
-            w_ref[sl, :] = aw
-            GS = GS + CG * aw
-            T_run = T_i
-        gs_ref[...] = GS
+            a = alpha_all[j * TH:(j + 1) * TH, :]
+            T_run = T_run * (1.0 / (1.0 - a))
+            t_list[j] = T_run
+        t_all = jnp.concatenate(t_list, axis=0)            # (gb, TW) = T_i
         t_ref[...] = T_run
 
-        # --- batched dpower -> X -> slab-coefficient grads
-        dpow = dpow_ref[...]
-        dp3 = _dot(m9t3_ref[...], _stack3(dpow, axis=0))     # (3G, TW)
-        fb0, fb1, fb2 = _bwd_feat_mats()
-        dsl64 = jnp.zeros((g, S_PER_BUF * COEF_DIM), jnp.float32)
-        for yp, fb in ((0, fb0), (1, fb1), (2, fb2)):
-            dx = dp3[yp * g:(yp + 1) * g]                    # (G, TW)
-            dsl64 = dsl64 + _dot(_stack3(dx, axis=1), fb)    # (G, 64)
-
-        # --- channel grads dc[g, ch, s] = sum_{y, x in s} w * grep_ch,
-        # with grep_ch (the y-expanded gout channel) recomputed per channel:
-        # one cheap (gb, 3TH)@(3TH, TW) matmul keeps only a single plane
-        # live instead of an OUT_CH*gb scratch (scoped-VMEM budget).
-        w = w_ref[...]
-        sc = max(8, S_PER_BUF)                   # strip-sel cols (lane pad)
+        # --- batched: y-expanded gout (ONE dot for all channels), per-slot
+        # weights, and the channel-weighted gout sum CG (identical FMA order
+        # to the old per-slot CG, so dalpha matches bit-for-bit modulo the
+        # exact one-hot grep reconstruction)
+        gout_all = jnp.concatenate(gouts, axis=1)        # (TH, OUT_CH*TW)
         y1 = (lax.broadcasted_iota(jnp.int32, (gb, TH), 0) % TH
               == lax.broadcasted_iota(jnp.int32, (gb, TH), 1)
               ).astype(jnp.bfloat16)
-        y13 = jnp.concatenate([y1] * 3, axis=1)
-        ssel = ((lax.broadcasted_iota(jnp.int32, (BUF_W, sc), 1)
-                 == lax.broadcasted_iota(jnp.int32, (BUF_W, sc), 0)
-                 // STRIP_W)).astype(jnp.bfloat16)           # (TW, sc)
-        ssel3 = jnp.concatenate([ssel] * 3, axis=0)
-        ball = jnp.zeros((gb, sc * OUT_CH), jnp.float32)
-        colb = lax.broadcasted_iota(jnp.int32, (gb, sc * OUT_CH), 1)
-        for ch in range(OUT_CH):
-            grep = _dot(y13, _stack3(gouts[ch], axis=0))     # (gb, TW)
-            contrib = _dot(_stack3(w * grep, axis=1), ssel3)  # (gb, sc)
-            for s in range(S_PER_BUF):
-                ball = ball + jnp.where(colb == ch * sc + s,
-                                        contrib[:, s:s + 1], 0.0)
+        y1k = jnp.concatenate([y1] * BWD_K, axis=1)
+        grep_all = _dot(y1k, _stackk(gout_all, 0, BWD_K))  # (gb, OUT_CH*TW)
+        w_all = alpha_all * t_all
+        CG = grep_all[:, 0:BUF_W] * jnp.repeat(cs[0], TH, axis=0)
+        for ch in range(1, OUT_CH):
+            CG = CG + (grep_all[:, ch * BUF_W:(ch + 1) * BUF_W]
+                       * jnp.repeat(cs[ch], TH, axis=0))
+
+        # --- slim serial pass 2: suffix accumulated-color chain
+        GS = gs_ref[...]
+        gs_list = [None] * g
+        for j in reversed(range(g)):
+            sl = slice(j * TH, (j + 1) * TH)
+            gs_list[j] = GS
+            GS = GS + CG[sl, :] * w_all[sl, :]
+        gs_ref[...] = GS
+        gs_all = jnp.concatenate(gs_list, axis=0)
+
+        # --- batched dalpha -> dpower
+        inv_all = 1.0 / (1.0 - alpha_all)
+        dalpha = CG * t_all - gs_all * inv_all
+        gate = (araw_all >= ALPHA_EPS) & (araw_all < ALPHA_MAX)
+        dpow = jnp.where(gate, dalpha, 0.0) * araw_all * LN2
+
+        # --- batched dpower -> X -> slab-coefficient grads (two dots)
+        dp3 = _dot(m9t3_ref[...], _stack3(dpow, axis=0))     # (3G, TW)
+        dxs = jnp.concatenate(
+            [_stackk(dp3[yp * g:(yp + 1) * g], 1, BWD_K) for yp in range(3)],
+            axis=1)                                    # (G, 3*BWD_K*TW)
+        dsl64 = _dot(dxs, _bwd_fb())                         # (G, 64)
+
+        # --- channel grads dc[g, ch*sc+s] = sum_{y, x in s} w * grep_ch:
+        # ONE block-diagonal contrib dot over all channels + ONE row-block
+        # reduction dot (was OUT_CH+OUT_CH+1 dots)
+        sc = max(8, S_PER_BUF)                   # strip-sel cols (lane pad)
+        w7 = jnp.concatenate([w_all] * OUT_CH, axis=1)   # (gb, OUT_CH*TW)
+        ball = _dot(_stackk(w7 * grep_all, 1, BWD_K),
+                    _bwd_ssel(sc))                       # (gb, OUT_CH*sc)
         rrepT = (lax.broadcasted_iota(jnp.int32, (g, gb), 0)
                  == lax.broadcasted_iota(jnp.int32, (g, gb), 1) // TH
                  ).astype(jnp.bfloat16)
-        rrepT3 = jnp.concatenate([rrepT] * 3, axis=1)
-        dc_all = _dot(rrepT3, _stack3(ball, axis=0))         # (G, sc*OUT_CH)
+        rrepTk = jnp.concatenate([rrepT] * BWD_K, axis=1)
+        dc_all = _dot(rrepTk, _stackk(ball, 0, BWD_K))   # (G, OUT_CH*sc)
 
         # --- assemble per-strip (G, 16) outputs: dsl64's strip slice holds
         # the coefficient-lane grads (color lanes are zero there); add the
@@ -458,7 +496,6 @@ def _bwd_call(slabs, gout8, tfin, evalid, count):
     nb, cs, _ = slabs[0].shape
     g = _pick_g(cs, G_BWD)
     ncap = cs // g
-    gb = g * TH
     m9 = make_m9(g) if not Y_REPEAT else jnp.zeros((8, 128), jnp.bfloat16)
     m9t3 = make_m9t3(g)
     slab_spec = pl.BlockSpec((1, g, COEF_DIM),
@@ -484,8 +521,6 @@ def _bwd_call(slabs, gout8, tfin, evalid, count):
         scratch_shapes=[
             pltpu.VMEM((TH, BUF_W), jnp.float32),            # GS
             pltpu.VMEM((TH, BUF_W), jnp.float32),            # running T
-            pltpu.VMEM((gb, BUF_W), jnp.float32),            # dpow
-            pltpu.VMEM((gb, BUF_W), jnp.float32),            # w
         ],
         interpret=_interpret("sbwd"),
     )(*slabs, m9, m9t3, gout8, tfin, evalid, count.reshape(1, nb))

@@ -218,8 +218,14 @@ def make_train_step(
         ssim_term = lcfg.lambda_ssim * jnp.sum(ssim_losses)
 
         if lpips_fn is not None:
-            lp = jax.vmap(lambda a, b: jnp.mean(lpips_fn(a, b)))(
-                imgs_m, gt_m_imgs)
+            # SEQUENTIAL + rematerialized over motions: B simultaneous
+            # 512^2 VGG towers (vmap) OOM HBM at reference scale (16.5G >
+            # 15.75G, first s2 step); lax.map + jax.checkpoint keeps one
+            # motion's tower activations live at a time, and a 512^2 VGG
+            # saturates the MXU anyway so serializing costs ~nothing.
+            lp = jax.lax.map(
+                lambda ab: jnp.mean(jax.checkpoint(lpips_fn)(ab[0], ab[1])),
+                (imgs_m, gt_m_imgs))
             lpips_term = lcfg.lambda_lpips * jnp.sum(lp)
         else:
             lp = jnp.zeros((n_motions,))
