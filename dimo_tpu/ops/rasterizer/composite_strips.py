@@ -69,6 +69,13 @@ G_BWD = int(os.environ.get("DIMO_SG_BWD", "32"))
 # flagship ch3): 4/repeat 173.4 fps > 8/repeat 173.0 > 8/matmul 171.6 >
 # 16/matmul 167.0 > 4/matmul 165.6 — repeat wins, so it is the default.
 Y_REPEAT = os.environ.get("DIMO_Y_REPEAT", "1") == "1"
+# forward-only A/B: fold the y expansion, exp2, and clamps INTO the serial
+# loop at (TH, TW) row-broadcast granularity, so the forward never
+# materializes any (gb, TW) plane at all (alpha/araw/power) — trades
+# ~5 extra vector ops per slot for ~4-5 MB/chunk of VMEM plane traffic.
+# Same FMA order as the Y_REPEAT batched route (power = A + d*(B + d*x2)),
+# so alpha stays bit-identical to the backward's batched replay.
+FWD_INLOOP = os.environ.get("DIMO_FWD_INLOOP", "0") == "1"
 
 
 def _interpret(which: str = "") -> bool:
@@ -258,6 +265,19 @@ def _unshift_grad(dsh, u, v):
     return jnp.where((col == C_HSC) | (col == C_HSR), 0.0, out)
 
 
+def _chunk_xc(slab_refs, out_ch: int):
+    """The chunk's single MXU dot: slab splits -> (X0, X1, X2, colors, SL).
+    X planes and colors are (G, TW) rows; y expansion happens downstream
+    (batched in _chunk_planes, or per-slot in the FWD_INLOOP loop)."""
+    SL = jnp.concatenate([_stack3(s, axis=1) for s in slab_refs], axis=1)
+    XC = _dot(SL, _feat_mats(out_ch))        # (G, (3+out_ch)*TW), one dot
+    x0 = XC[:, 0 * BUF_W:1 * BUF_W]                          # (G, TW)
+    x1 = XC[:, 1 * BUF_W:2 * BUF_W]
+    x2 = XC[:, 2 * BUF_W:3 * BUF_W]
+    cs = [XC[:, (3 + ch) * BUF_W:(4 + ch) * BUF_W] for ch in range(out_ch)]
+    return x0, x1, x2, cs, SL
+
+
 def _chunk_planes(slab_refs, m9, out_ch: int):
     """Shared fwd/bwd chunk evaluation: (alpha, araw, C_ch list, SL).
 
@@ -275,12 +295,7 @@ def _chunk_planes(slab_refs, m9, out_ch: int):
       matmul (A/B alternative, DIMO_Y_REPEAT=0): power = M9 @ stack3-stacked
         X planes — one big MXU op whose contraction is a one-hot replication
         (gb*9G*TW MACs, ~9/(9G) useful)."""
-    SL = jnp.concatenate([_stack3(s, axis=1) for s in slab_refs], axis=1)
-    XC = _dot(SL, _feat_mats(out_ch))        # (G, (3+out_ch)*TW), one dot
-    x0 = XC[:, 0 * BUF_W:1 * BUF_W]                          # (G, TW)
-    x1 = XC[:, 1 * BUF_W:2 * BUF_W]
-    x2 = XC[:, 2 * BUF_W:3 * BUF_W]
-    cs = [XC[:, (3 + ch) * BUF_W:(4 + ch) * BUF_W] for ch in range(out_ch)]
+    x0, x1, x2, cs, SL = _chunk_xc(slab_refs, out_ch)
     if Y_REPEAT:
         h = TH // 2
         A = x0 - h * x1 + (h * h) * x2       # power at d=0 (y=-16)
@@ -331,15 +346,33 @@ def _fwd_kernel(g, out_ch, ncap, early, *refs):
         shifted = [
             _shift_slab(s[0], ev_ref[b, j], ev_ref[b, S_PER_BUF + j])[0]
             for j, s in enumerate(slab_refs)]
-        alpha, _, cs, _ = _chunk_planes(shifted, m9_ref[...], out_ch)
         T = t_ref[...]
         accs = [out_ref[ch] for ch in range(out_ch)]
-        for j in range(g):
-            a = alpha[j * TH:(j + 1) * TH, :]
-            w = a * T
-            for ch in range(out_ch):
-                accs[ch] = accs[ch] + cs[ch][j:j + 1, :] * w
-            T = T - w
+        if FWD_INLOOP:
+            x0, x1, x2, cs, _ = _chunk_xc(shifted, out_ch)
+            h = TH // 2
+            A = x0 - h * x1 + (h * h) * x2   # power at d=0 (y=-16)
+            B = x1 - TH * x2                 # d-linear term
+            dpl = lax.broadcasted_iota(jnp.int32, (TH, BUF_W), 0
+                                       ).astype(jnp.float32)
+            for j in range(g):
+                pj = A[j:j + 1, :] + dpl * (B[j:j + 1, :]
+                                            + dpl * x2[j:j + 1, :])
+                ar = jnp.exp2(pj)
+                a = jnp.where(ar >= ALPHA_EPS,
+                              jnp.minimum(ar, ALPHA_MAX), 0.0)
+                w = a * T
+                for ch in range(out_ch):
+                    accs[ch] = accs[ch] + cs[ch][j:j + 1, :] * w
+                T = T - w
+        else:
+            alpha, _, cs, _ = _chunk_planes(shifted, m9_ref[...], out_ch)
+            for j in range(g):
+                a = alpha[j * TH:(j + 1) * TH, :]
+                w = a * T
+                for ch in range(out_ch):
+                    accs[ch] = accs[ch] + cs[ch][j:j + 1, :] * w
+                T = T - w
         for ch in range(out_ch):
             out_ref[ch] = accs[ch]
         t_ref[...] = T

@@ -184,34 +184,48 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     # --- big path: compact the (rare) oversized gaussians globally first.
     # k is NOT tied to the per-tile capacity: undersizing it drops whole
     # gaussians globally (a correctness cliff), while capacity truncation
-    # only drops per-tile depth tails.
-    k_big = min(1024, n)
-    big_key = jnp.where(big, dq, depth_max + 1)
-    neg_bd, big_i = jax.lax.top_k(-big_key, k_big)                      # by depth
-    big_dq_sel = -neg_bd                                                # (Kb,)
-    bs_valid = big_dq_sel <= depth_max
-    tr = (jnp.arange(t, dtype=jnp.int32) // ncols)[:, None]
-    tc = (jnp.arange(t, dtype=jnp.int32) % ncols)[:, None]
-    ovb = (bs_valid[None, :]
-           & (tc >= cmin[big_i][None, :]) & (tc <= cmax[big_i][None, :])
-           & (tr >= rmin[big_i][None, :]) & (tr <= rmax[big_i][None, :]))
-    big_dq_t = jnp.where(ovb, big_dq_sel[None, :], depth_max + 1)       # (T,Kb)
-    big_idx = jnp.where(ovb, big_i[None, :], n)
-
-    # --- merge by depth per tile (row sort over C + Kb columns)
-    mk = jnp.concatenate([small_dq, big_dq_t], axis=1)
-    mv = jnp.concatenate([small_idx, big_idx], axis=1)
-    mk, mv = jax.lax.sort((mk, mv), num_keys=1, dimension=1)
-    idx = mv[:, :capacity]
-    valid_slot = mk[:, :capacity] <= depth_max
-
-    count = jnp.sum(valid_slot.astype(jnp.int32), axis=1)
-    # exact per-tile totals: duplicate keys make the small segment lengths
-    # exact; big-path overlaps come from the (T, Kb) matrix
-    per_tile_total = seg_len + jnp.sum(ovb.astype(jnp.int32), axis=1)
-    overflow = jnp.sum(jnp.maximum(per_tile_total - capacity, 0))
+    # only drops per-tile depth tails. Trained scenes (radii ~5-7px vs
+    # 32px bins) usually have ZERO big gaussians, so the whole branch —
+    # the global top_k (sort-bound over N) and the (T, C+Kb) merge row
+    # sort, the two most expensive pieces of the stage — runs under a
+    # lax.cond and is skipped at runtime whenever n_big == 0: the small
+    # path's window readout is already depth-complete then.
     n_big = jnp.sum(big.astype(jnp.int32))
-    overflow = overflow + jnp.maximum(n_big - k_big, 0)
+
+    def _small_only(_):
+        count = jnp.minimum(seg_len, capacity)
+        overflow = jnp.sum(jnp.maximum(seg_len - capacity, 0))
+        return small_idx, count, overflow
+
+    def _with_big(_):
+        k_big = min(1024, n)
+        big_key = jnp.where(big, dq, depth_max + 1)
+        neg_bd, big_i = jax.lax.top_k(-big_key, k_big)              # by depth
+        big_dq_sel = -neg_bd                                            # (Kb,)
+        bs_valid = big_dq_sel <= depth_max
+        tr = (jnp.arange(t, dtype=jnp.int32) // ncols)[:, None]
+        tc = (jnp.arange(t, dtype=jnp.int32) % ncols)[:, None]
+        ovb = (bs_valid[None, :]
+               & (tc >= cmin[big_i][None, :]) & (tc <= cmax[big_i][None, :])
+               & (tr >= rmin[big_i][None, :]) & (tr <= rmax[big_i][None, :]))
+        big_dq_t = jnp.where(ovb, big_dq_sel[None, :], depth_max + 1)  # (T,Kb)
+        big_idx = jnp.where(ovb, big_i[None, :], n)
+
+        # --- merge by depth per tile (row sort over C + Kb columns)
+        mk = jnp.concatenate([small_dq, big_dq_t], axis=1)
+        mv = jnp.concatenate([small_idx, big_idx], axis=1)
+        mk, mv = jax.lax.sort((mk, mv), num_keys=1, dimension=1)
+        idx = mv[:, :capacity]
+        valid_slot = mk[:, :capacity] <= depth_max
+
+        count = jnp.sum(valid_slot.astype(jnp.int32), axis=1)
+        # exact per-tile totals: duplicate keys make the small segment
+        # lengths exact; big-path overlaps come from the (T, Kb) matrix
+        per_tile_total = seg_len + jnp.sum(ovb.astype(jnp.int32), axis=1)
+        overflow = jnp.sum(jnp.maximum(per_tile_total - capacity, 0))
+        return idx, count, overflow + jnp.maximum(n_big - k_big, 0)
+
+    idx, count, overflow = jax.lax.cond(n_big > 0, _with_big, _small_only, 0)
     return TileLists(idx=idx, count=count, overflow=overflow)
 
 

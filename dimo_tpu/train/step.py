@@ -193,13 +193,18 @@ def make_train_step(
         imgs = outs["image"]                                  # (B, 3, h, w)
         masks = outs["alpha"]
         # GT arrives uint8 at ref_size; convert+bilinear-resize on device
-        # (reference F.interpolate align_corners=False ~ jax half-pixel linear)
+        # (reference F.interpolate align_corners=False ~ jax half-pixel
+        # linear). Same-size resize is skipped: jax.image.resize emits the
+        # full interpolation graph even at scale 1.
         gt_full = batch["gt_image"].astype(jnp.float32) / 255.0   # (B,S,S,3)
-        gt = jnp.transpose(jax.image.resize(
-            gt_full, (B, height, width, 3), "linear"), (0, 3, 1, 2))
-        gt_m_full = batch["gt_mask"].astype(jnp.float32) / 255.0  # (B,S,S)
-        gt_m = jax.image.resize(
-            gt_m_full, (B, height, width), "linear")[:, None]
+        if gt_full.shape[1:3] != (height, width):
+            gt_full = jax.image.resize(
+                gt_full, (B, height, width, 3), "linear")
+        gt = jnp.transpose(gt_full, (0, 3, 1, 2))
+        gt_m = batch["gt_mask"].astype(jnp.float32) / 255.0       # (B,S,S)
+        if gt_m.shape[1:3] != (height, width):
+            gt_m = jax.image.resize(gt_m, (B, height, width), "linear")
+        gt_m = gt_m[:, None]
 
         # --- weighted per-image MSE
         per_img_mse = jnp.mean((imgs - gt) ** 2, axis=(1, 2, 3))    # (B,)

@@ -76,11 +76,64 @@ def main():
                                 jnp.transpose(gt, (0, 2, 3, 1)))
         return jax.grad(loss)(p)
 
+    from dimo_tpu.ops import image_losses as L
+
+    def render_all7(p):
+        def one(cam, t, li):
+            out = render(cfg, p, aux, cam, t, "s2", li, res, res, bg,
+                         knn_cache=knn_cache, capacity=1024)
+            return out["image"], out["depth"], out["normal"]
+        return jax.vmap(one)(cams, times, lat)
+
+    @jax.jit
+    def fwd_bwd_smooth(p):
+        def loss(pp):
+            imgs, depth, normal = render_all7(pp)
+            d_nhwc = jnp.transpose(depth, (0, 2, 3, 1))
+            n_nhwc = jnp.transpose(normal, (0, 2, 3, 1))
+            i_nhwc = jnp.transpose(imgs, (0, 2, 3, 1))
+            return (jnp.sum(jax.vmap(L.edge_aware_smoothness)(d_nhwc, i_nhwc))
+                    + jnp.sum(jax.vmap(L.bilateral_normal_smoothness)(
+                        n_nhwc, i_nhwc)) + jnp.sum((imgs - gt) ** 2))
+        return jax.grad(loss)(p)
+
+    gt_u8 = jnp.asarray(rng.randint(0, 255, (B, res, res, 3), np.uint8))
+
+    @jax.jit
+    def resize_only(x):
+        xf = x.astype(jnp.float32) / 255.0
+        return jnp.transpose(jax.image.resize(
+            xf, (B, res, res, 3), "linear"), (0, 3, 1, 2))
+
+    @jax.jit
+    def arap_only(p):
+        from dimo_tpu.models import timenet as timenet_mod
+        from dimo_tpu.ops import arap as arap_mod
+        from dimo_tpu.models import gaussians as G
+
+        def loss(pp):
+            q_times = jnp.linspace(0.1, 0.9, 8)
+            nrng = jax.random.PRNGKey(0)
+
+            def arap_for_motion(li):
+                latv = G.sample_latent(pp, li, None)
+                d_xyz_t, _ = jax.vmap(
+                    lambda t: timenet_mod.apply_timenet(
+                        pp.timenet, pp.c_xyz, t, latv))(q_times)
+                return arap_mod.arap_loss(pp.c_xyz, d_xyz_t,
+                                          valid=aux.c_active,
+                                          radius=0.1, rng=nrng)
+            return jnp.sum(jax.vmap(arap_for_motion)(jnp.arange(4)))
+        return jax.grad(loss)(p)
+
     print(f"B={B} res={res} N={args.n_gauss}")
     bench(fwd_only, params, label="vmapped render fwd")
     bench(fwd_bwd, params, label="vmapped render fwd+bwd")
     bench(fwd_bwd_mse, params, label="+ mse loss")
     bench(fwd_bwd_ssim, params, label="+ ssim loss")
+    bench(fwd_bwd_smooth, params, label="+ depth/normal smooth (7ch)")
+    bench(resize_only, gt_u8, label="gt uint8->f32 resize (B,512,512,3)")
+    bench(arap_only, params, label="arap x4 motions fwd+bwd")
 
 
 if __name__ == "__main__":

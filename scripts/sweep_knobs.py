@@ -47,6 +47,7 @@ for _ in range(ROUNDS):
 img.block_until_ready()
 fps = ROUNDS / (time.time() - t0)
 row = {"s_per_buf": strips_mod.S_PER_BUF, "y_repeat": cs_mod.Y_REPEAT,
+       "fwd_inloop": cs_mod.FWD_INLOOP,
        "capacity": CAP, "fps_ch3": round(fps, 2)}
 print(json.dumps(row))
 with open("/tmp/dimo_knob_sweep.jsonl", "a") as f:
