@@ -731,7 +731,11 @@ class Trainer:
                 self.cpts_s1 = np.asarray(z["cpts_s1"])
         self.step = int(meta["step"])
         self.stage = meta["stage"]
-        self.tile_capacity = int(meta["tile_capacity"])
+        # clamp to the CURRENT ceiling: a snapshot written before the
+        # ceiling was lowered must not resume into a faulting capacity
+        self.tile_capacity = min(
+            int(meta["tile_capacity"]),
+            int(self.opt.get("tile_capacity_max", 4096)))
         self._step_fns.clear()
         self._densify_fns.clear()
         self.py_rng = random.Random(self.seed + self.step)

@@ -48,6 +48,12 @@ def build_config(scale512: bool = False, fast: bool = False,
         batch_size=2, iters_s1=iters_s1, iters_s2=iters_s2,
         save_path="/tmp/eval_quality_run",
         video_save_dir=videos,
+        # escalation ceiling 2048: the round-2 tile_capacity=4096 device
+        # fault reproduced 2026-08-19 at the 256^2 eval shape (TPU worker
+        # crash right after the 2048->4096 escalation recompile) — the
+        # round-3 cap4096 validation only covered the 512^2 flagship
+        # shape. Overflow past 2048 truncates per-strip depth tails only.
+        tile_capacity_max=2048,
     )
     if scale512:
         opt = tiny_opt(

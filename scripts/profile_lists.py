@@ -106,6 +106,20 @@ def p_readout(skey, sval):
     return small_dq, small_idx, ends - starts
 
 
+# ---- piece 2b: small-only readout (value word alone, the product path
+# when n_big == 0 after the slim-gather change)
+@jax.jit
+def p_readout_val(skey, sval):
+    nd = skey.shape[0]
+    tile_base = jnp.arange(t, dtype=jnp.int32) << depth_bits
+    starts = jnp.searchsorted(skey, tile_base)
+    ends = jnp.searchsorted(skey, tile_base + (1 << depth_bits))
+    offs = starts[:, None] + jnp.arange(CAP, dtype=jnp.int32)[None]
+    inc = offs < ends[:, None]
+    small_idx = jnp.where(inc, sval[jnp.minimum(offs, nd - 1)], n)
+    return small_idx, ends - starts
+
+
 # ---- piece 3: the big path alone (top_k + overlap matrix + merge sort)
 @jax.jit
 def p_bigpath(small_dq, small_idx, dq, big):
@@ -161,6 +175,7 @@ print(f"scene: n={n} alive={int(alive.sum())} small={int(small.sum())} "
 bench(p_sort, mean2d, radius, depth, ok, label="keys + global 4N pair sort")
 sd, si, seg = bench(p_readout, skey, sval,
                     label="searchsorted + window gather")
+bench(p_readout_val, skey, sval, label="  readout, value word only")
 bench(p_topk_only, dq, big, label="big top_k(1024) alone")
 bdq = jnp.full((t, 1024), depth_max + 1, jnp.int32)
 bix = jnp.full((t, 1024), n, jnp.int32)
