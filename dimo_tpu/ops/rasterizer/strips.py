@@ -39,16 +39,22 @@ from dimo_tpu.ops.rasterizer.gather import gather_rows
 from dimo_tpu.ops.rasterizer import tiles as tiles_mod
 
 STRIP_H = 32
-STRIP_W = 32
+# Strip width A/B (DIMO_STRIP_W, default 32): 16px strips double the
+# entries a serial blend step composites (8 per 128-lane row instead of
+# 4) and halve every per-entry plane cost, at the price of higher entry
+# duplication in the binning (footprint widens to 2x3 bins so radii up
+# to 16px stay on the small path) and ~25% more window-gather rows.
+STRIP_W = int(os.environ.get("DIMO_STRIP_W", "32"))
 # Strips per buffer = how many independent entries one serial blend step
-# composites (each in its own 32-lane window). 4 = one native 128-lane
-# VREG row; 8/16 widen the planes to 2/4 lane-tiles, halving/quartering
-# the serial instruction stream per element-op (A/B knob; total element
-# ops, exp2 count and MXU MACs are identical across settings). On-chip
-# sweep 2026-08-18: 4 wins under Y_REPEAT (173.4 vs 173.0 fps at 8;
+# composites (each in its own STRIP_W-lane window). Default fills one
+# native 128-lane VREG row (4 at 32px, 8 at 16px); larger values widen
+# the planes to multiple lane-tiles, halving/quartering the serial
+# instruction stream per element-op (A/B knob; total element ops, exp2
+# count and MXU MACs are identical across settings). On-chip sweep
+# 2026-08-18 at 32px: 4 wins under Y_REPEAT (173.4 vs 173.0 fps at 8;
 # 16/matmul loses outright at 167.0, 16/repeat unmeasured) — wider planes
 # don't pay once the y-expansion matmul is gone.
-S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", "4"))
+S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", str(128 // STRIP_W)))
 BUF_W = S_PER_BUF * STRIP_W
 
 INV_LN2 = 1.4426950408889634  # coefficients are log2-scaled: kernel uses exp2
@@ -80,9 +86,12 @@ def build_strip_lists(mean2d, radius, depth, ok, height: int, width: int,
     per-overlapped-bin duplicate-key sort machinery as the tile binning,
     at 32x32 granularity)."""
     nrows, ncols = num_strips(height, width)
+    # footprint: bins narrower than 32px need a 3-wide column footprint to
+    # keep the same radii (<16px) on the small path
+    kc = 2 if STRIP_W >= 32 else 3
     lists = tiles_mod.build_bin_lists(mean2d, radius, depth, ok,
                                       nrows, ncols, STRIP_H, STRIP_W,
-                                      capacity)
+                                      capacity, kc=kc)
     return StripLists(idx=lists.idx, count=lists.count,
                       overflow=lists.overflow)
 

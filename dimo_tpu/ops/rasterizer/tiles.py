@@ -113,7 +113,8 @@ def build_tile_lists(mean2d, radius, depth, ok, height: int, width: int,
 
 
 def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
-                    bin_h: int, bin_w: int, capacity: int) -> TileLists:
+                    bin_h: int, bin_w: int, capacity: int,
+                    kr: int = DUP_KR, kc: int = DUP_KC) -> TileLists:
     """Depth-ordered fixed-capacity per-bin Gaussian lists over an
     (nrows x ncols) grid of (bin_h x bin_w)-pixel bins — the tile path uses
     (32, 128) bins, the strip compositor (strips.py) (32, 32).
@@ -142,7 +143,7 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     dq = _quantize_depth(depth, alive, depth_max)                       # (N,)
     gid = jnp.arange(n, dtype=jnp.int32)
 
-    small = alive & (cmax - cmin < DUP_KC) & (rmax - rmin < DUP_KR)
+    small = alive & (cmax - cmin < kc) & (rmax - rmin < kr)
     big = alive & ~small
 
     # --- small path: one (bin||depth, gid) key pair per overlapped bin
@@ -151,16 +152,10 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     # are pathological lane layouts). One global sort of KR*KC*N pairs.
     assert n < (1 << GID_BITS), (n, "gid field in the packed value word")
     sentinel = jnp.iinfo(jnp.int32).max
-    rspan = rmax > rmin
-    cspan = cmax > cmin
     keys, vals = [], []
-    for dr in range(DUP_KR):
-        for dc in range(DUP_KC):
-            need = small
-            if dr:
-                need = need & rspan
-            if dc:
-                need = need & cspan
+    for dr in range(kr):
+        for dc in range(kc):
+            need = small & (rmax - rmin >= dr) & (cmax - cmin >= dc)
             b = (rmin + dr) * ncols + (cmin + dc)
             keys.append(jnp.where(need, (b << depth_bits) | dq, sentinel))
             vals.append(gid)

@@ -20,7 +20,12 @@ import time
 import numpy as np
 
 
-PSNR_GATE = 26.0      # measured 2026-08: run scores ~30+; gate with margin
+# NOTE 2026-08-19: two full 700+500 runs under tile_capacity_max=2048
+# (the cap4096-fault ceiling) score 21.5-22.1 — the "~30+" margin this
+# gate was set against predates the strip redesign and the ceiling.
+# Kept at 26 deliberately so misses stay visible (passed=false) until the
+# capacity fault is fixed; the A/B artifacts record the measured PSNRs.
+PSNR_GATE = 26.0
 
 
 def build_config(scale512: bool = False, fast: bool = False,
