@@ -69,13 +69,15 @@ G_BWD = int(os.environ.get("DIMO_SG_BWD", "32"))
 # flagship ch3): 4/repeat 173.4 fps > 8/repeat 173.0 > 8/matmul 171.6 >
 # 16/matmul 167.0 > 4/matmul 165.6 — repeat wins, so it is the default.
 Y_REPEAT = os.environ.get("DIMO_Y_REPEAT", "1") == "1"
-# forward-only A/B: fold the y expansion, exp2, and clamps INTO the serial
-# loop at (TH, TW) row-broadcast granularity, so the forward never
+# forward A/B (default ON; on-chip 2026-08-19: 178.7 vs 171.9 fps at the
+# cap1024 ch3 flagship): fold the y expansion, exp2, and clamps INTO the
+# serial loop at (TH, TW) row-broadcast granularity, so the forward never
 # materializes any (gb, TW) plane at all (alpha/araw/power) — trades
 # ~5 extra vector ops per slot for ~4-5 MB/chunk of VMEM plane traffic.
 # Same FMA order as the Y_REPEAT batched route (power = A + d*(B + d*x2)),
-# so alpha stays bit-identical to the backward's batched replay.
-FWD_INLOOP = os.environ.get("DIMO_FWD_INLOOP", "0") == "1"
+# so alpha stays bit-identical to the backward's batched replay (oracle
+# value+grad tests pass under both settings).
+FWD_INLOOP = os.environ.get("DIMO_FWD_INLOOP", "1") == "1"
 
 
 def _interpret(which: str = "") -> bool:

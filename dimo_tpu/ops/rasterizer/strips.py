@@ -50,10 +50,11 @@ STRIP_W = int(os.environ.get("DIMO_STRIP_W", "32"))
 # native 128-lane VREG row (4 at 32px, 8 at 16px); larger values widen
 # the planes to multiple lane-tiles, halving/quartering the serial
 # instruction stream per element-op (A/B knob; total element ops, exp2
-# count and MXU MACs are identical across settings). On-chip sweep
-# 2026-08-18 at 32px: 4 wins under Y_REPEAT (173.4 vs 173.0 fps at 8;
-# 16/matmul loses outright at 167.0, 16/repeat unmeasured) — wider planes
-# don't pay once the y-expansion matmul is gone.
+# count and MXU MACs are identical across settings). On-chip sweeps
+# (2026-08-18/19) at 32px: 4 wins under Y_REPEAT (173.4 vs 173.0 fps at 8;
+# 16/matmul loses outright at 167.0; 16/repeat measured 169.9 vs base
+# 171.9 on 2026-08-19) — wider planes don't pay once the y-expansion
+# matmul is gone.
 S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", str(128 // STRIP_W)))
 BUF_W = S_PER_BUF * STRIP_W
 

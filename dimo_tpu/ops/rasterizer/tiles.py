@@ -167,9 +167,16 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     starts = jnp.searchsorted(skey, tile_base)                          # (T,)
     ends = jnp.searchsorted(skey, tile_base + (1 << depth_bits))
     seg_len = ends - starts                                             # (T,)
+    # ONE row gather of (key,val) pairs per bin window: scalar-element
+    # gathers lose to 8-byte-row gathers (round-2 note; re-measured
+    # 2026-08-19: a value-word-only readout is 1.7x SLOWER standalone, so
+    # the small-only branch reads pairs too even though it discards keys)
+    pairs = jnp.stack([skey, sval], axis=1)                             # (ND,2)
     offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
     inc = offs < ends[:, None]                                          # (T,C)
-    offc = jnp.minimum(offs, nd - 1)
+    rows = pairs[jnp.minimum(offs, nd - 1)]                             # (T,C,2)
+    small_dq = jnp.where(inc, rows[..., 0] & depth_max, depth_max + 1)
+    small_idx = jnp.where(inc, rows[..., 1], n)
 
     # --- big path: compact the (rare) oversized gaussians globally first.
     # k is NOT tied to the per-tile capacity: undersizing it drops whole
@@ -183,21 +190,11 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     n_big = jnp.sum(big.astype(jnp.int32))
 
     def _small_only(_):
-        # the window readout needs only the VALUE word here (the keys'
-        # depth field is consumed solely by the big-path merge): gather
-        # 4-byte scalars instead of 8-byte (key,val) rows
-        small_idx = jnp.where(inc, sval[offc], n)
         count = jnp.minimum(seg_len, capacity)
         overflow = jnp.sum(jnp.maximum(seg_len - capacity, 0))
         return small_idx, count, overflow
 
     def _with_big(_):
-        # ONE row gather of (key,val) pairs per bin window: two scalar-
-        # element gathers cost ~60% more than one 8-byte-row gather
-        pairs = jnp.stack([skey, sval], axis=1)                     # (ND,2)
-        rows = pairs[offc]                                          # (T,C,2)
-        small_dq = jnp.where(inc, rows[..., 0] & depth_max, depth_max + 1)
-        small_idx = jnp.where(inc, rows[..., 1], n)
         k_big = min(1024, n)
         big_key = jnp.where(big, dq, depth_max + 1)
         neg_bd, big_i = jax.lax.top_k(-big_key, k_big)              # by depth
