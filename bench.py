@@ -152,6 +152,9 @@ def main() -> None:
         # compositor variant that produced this number (A/B knobs)
         "s_per_buf": strips_mod.S_PER_BUF,
         "y_repeat": cs_mod.Y_REPEAT,
+        "fwd_inloop": cs_mod.FWD_INLOOP,
+        "strip_w": strips_mod.STRIP_W,
+        "dup": strips_mod.DUP,
         **check,
     }))
 

@@ -57,6 +57,17 @@ STRIP_W = int(os.environ.get("DIMO_STRIP_W", "32"))
 # matmul is gone.
 S_PER_BUF = int(os.environ.get("DIMO_S_PER_BUF", str(128 // STRIP_W)))
 BUF_W = S_PER_BUF * STRIP_W
+# Small-path duplication footprint (DIMO_DUP, default 2 => kr=kc=2 bins,
+# radii <16px guaranteed small). Flagship counts (CPU audit 2026-08-19,
+# radius max 53px): 1229 big gaussians at 2x2 — the big path's top_k +
+# (T, C+Kb) merge runs EVERY frame and k_big=1024 silently DROPS the 205
+# deepest of them. DUP=3 keeps radii <32px on the small path (9N pairs
+# instead of 4N in the one global sort), leaving 9 big — the lax.cond
+# still fires, but k_big shrinks 1024->256 (tiles.py) so the merge width
+# drops 2048->1280 columns and nothing is dropped. A/B knob until driven
+# on-chip.
+DUP = int(os.environ.get("DIMO_DUP", "2"))
+assert DUP >= 2, DUP
 
 INV_LN2 = 1.4426950408889634  # coefficients are log2-scaled: kernel uses exp2
 
@@ -87,12 +98,12 @@ def build_strip_lists(mean2d, radius, depth, ok, height: int, width: int,
     per-overlapped-bin duplicate-key sort machinery as the tile binning,
     at 32x32 granularity)."""
     nrows, ncols = num_strips(height, width)
-    # footprint: bins narrower than 32px need a 3-wide column footprint to
-    # keep the same radii (<16px) on the small path
-    kc = 2 if STRIP_W >= 32 else 3
+    # footprint: DUP x DUP bins (see DIMO_DUP above); bins narrower than
+    # 32px need one extra column so the same radii stay on the small path
+    kc = DUP if STRIP_W >= 32 else DUP + 1
     lists = tiles_mod.build_bin_lists(mean2d, radius, depth, ok,
                                       nrows, ncols, STRIP_H, STRIP_W,
-                                      capacity, kc=kc)
+                                      capacity, kr=DUP, kc=kc)
     return StripLists(idx=lists.idx, count=lists.count,
                       overflow=lists.overflow)
 

@@ -195,7 +195,14 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
         return small_idx, count, overflow
 
     def _with_big(_):
-        k_big = min(1024, n)
+        # k_big bounds how many oversized gaussians survive globally; the
+        # (T, C+Kb) merge row sort scales with it, so it shrinks as the
+        # duplication footprint widens (the big class then starts at a
+        # radius kr/2 bins instead of 1): flagship 512^2 counts (CPU,
+        # 2026-08-19): 1229 big at 2x2 (k=1024 DROPS 205), 9 at 3x3, 1 at
+        # 4x4 — 256 is >25x margin there while the merge width drops 2048
+        # -> 1280 columns. Drops are still counted in `overflow`.
+        k_big = min(1024 if min(kr, kc) <= 2 else 256, n)
         big_key = jnp.where(big, dq, depth_max + 1)
         neg_bd, big_i = jax.lax.top_k(-big_key, k_big)              # by depth
         big_dq_sel = -neg_bd                                            # (Kb,)

@@ -119,7 +119,12 @@ def main():
 
 def _packer_probe(n_motions, n_views, n_frames, ref_size=512, iters=30):
     """Host-side batch-assembly latency: native double-buffered packer vs
-    one numpy fancy-index gather (the two sample_batch paths)."""
+    one numpy fancy-index gather (the two sample_batch paths).
+
+    CAVEAT (2026-08-19): on the tunneled axon backend this measures the
+    17 MB gt host->device upload (~1.26 s at ~13 MB/s), not host work —
+    the same probe under JAX_PLATFORMS=cpu reads numpy 123 ms / packer
+    367 ms. On real TPU hosts the upload is PCIe DMA (~2 ms)."""
     from dimo_tpu.train.loop import Trainer
     from dimo_tpu.presets import tiny_synthetic_opt as tiny_opt
 

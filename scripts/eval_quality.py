@@ -135,11 +135,15 @@ def main():
     bg = jnp.ones((3,))
     knn = jax.jit(find_knn)(tr.state.params, tr.state.aux)
 
+    # render at the trainer's LIVE (escalated) capacity, not the initial
+    # opt.tile_capacity: training that escalated to 2048 must not be scored
+    # on a 1024-truncated render
+    eval_cap = int(getattr(tr, "tile_capacity", opt.tile_capacity))
+
     @jax.jit
     def one(cam, t, li):
         out = render(tr.mcfg, tr.state.params, tr.state.aux, cam, t, "s2",
-                     li, S, S, bg, knn_cache=knn,
-                     capacity=int(opt.tile_capacity))
+                     li, S, S, bg, knn_cache=knn, capacity=eval_cap)
         return out["image"]
 
     mses = []
@@ -173,6 +177,7 @@ def main():
         "train_seconds": round(train_s, 1),
         "sec_per_step": round(train_s / (iters_s1 + iters_s2), 3),
         "lpips": not args.no_lpips,
+        "eval_capacity": eval_cap,
         "videos_ok": videos_ok,
         "fast": args.fast,
         "scale512": args.scale512,

@@ -55,10 +55,11 @@ def _scene(rng, n, extent, rad_lo, rad_hi, distinct_depth=True):
     return mean2d, radius, depth, ok
 
 
-def _run(mean2d, radius, depth, ok, nrows, ncols, bin_h, bin_w, cap):
+def _run(mean2d, radius, depth, ok, nrows, ncols, bin_h, bin_w, cap,
+         **kw):
     lists = T.build_bin_lists(jnp.asarray(mean2d), jnp.asarray(radius),
                               jnp.asarray(depth), jnp.asarray(ok),
-                              nrows, ncols, bin_h, bin_w, cap)
+                              nrows, ncols, bin_h, bin_w, cap, **kw)
     return (np.asarray(lists.idx), np.asarray(lists.count),
             int(lists.overflow))
 
@@ -134,6 +135,32 @@ class TestBinListsBruteForce:
             assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
             total_drop += max(len(members) - cap, 0)
         assert overflow == total_drop
+
+    def test_3x3_footprint_oracle(self):
+        """DIMO_DUP=3 (strips.py): kr=kc=3 keeps radii <32px on the small
+        path at 32x32 bins. Same oracle contract — membership, depth order,
+        exact totals — for a scene whose 16-32px radii rode the big path
+        at the default 2x2 footprint, plus a few genuinely big (>32px)
+        gaussians so the big path still merges correctly under kr=kc=3."""
+        rng = np.random.RandomState(7)
+        nrows, ncols, bh, bw = 6, 6, 32, 32
+        n, cap = 300, 96
+        mean2d, radius, depth, ok = _scene(rng, n, 192, 1.0, 30.0)
+        for g in range(0, n, 60):                       # >32px: big path
+            radius[g] = rng.uniform(40, 120)
+        for kwargs in ({"kr": 3, "kc": 3},):
+            idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                        nrows, ncols, bh, bw, cap, **kwargs)
+            brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols,
+                                bh, bw)
+            total_drop = 0
+            for t, (members, dq) in brute.items():
+                got = list(idx[t][:count[t]])
+                assert count[t] == min(len(members), cap), t
+                assert sorted(got) == sorted(members[:cap]), t
+                assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
+                total_drop += max(len(members) - cap, 0)
+            assert overflow == total_drop
 
     def test_duplicate_depth_keys_keep_membership(self):
         # colliding quantized depths: order within ties is unspecified,

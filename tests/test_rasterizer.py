@@ -322,13 +322,27 @@ assert ge < 2e-3, ("grad", ge)
 print("knob-combo ok: img", ie, "grad", ge)
 """
 
-    @pytest.mark.parametrize("s_per_buf,y_repeat", [("8", "1"), ("16", "0")])
-    def test_knob_combo_matches_oracle(self, s_per_buf, y_repeat):
+    # Each entry is one subprocess; combos bundle independent knob
+    # branches to bound suite time (every branch must match the oracle
+    # exactly, so confounding costs nothing for correctness coverage).
+    COMBOS = [
+        {"DIMO_S_PER_BUF": "8", "DIMO_Y_REPEAT": "1"},
+        {"DIMO_S_PER_BUF": "16", "DIMO_Y_REPEAT": "0"},
+        # 16px strips + the non-default plane-materializing forward
+        {"DIMO_STRIP_W": "16", "DIMO_FWD_INLOOP": "0"},
+        # 3x3 duplication footprint (big path skipped) + wide bwd chunks
+        {"DIMO_DUP": "3", "DIMO_SG_BWD": "64"},
+    ]
+
+    @pytest.mark.parametrize("knobs", COMBOS,
+                             ids=["-".join(f"{k[5:]}={v}"
+                                           for k, v in c.items())
+                                  for c in COMBOS])
+    def test_knob_combo_matches_oracle(self, knobs):
         import os
         import subprocess
         import sys
-        env = dict(os.environ, DIMO_S_PER_BUF=s_per_buf,
-                   DIMO_Y_REPEAT=y_repeat, JAX_PLATFORMS="cpu")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", **knobs)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = subprocess.run([sys.executable, "-c", self.SCRIPT], env=env,
                            cwd=repo, capture_output=True, text=True,
