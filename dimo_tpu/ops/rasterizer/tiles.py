@@ -54,6 +54,24 @@ TILE_W = 128
 DUP_KR = 2
 DUP_KC = 2
 
+# Tiered duplication (DIMO_TIER2, default 0 = off): a COMPACTED medium
+# tier between the small path and the big path. Gaussians with footprint
+# <= TIER2 x TIER2 bins (but > the small KR x KC) are compacted by a
+# depth top_k to k_med=2048 slots and emit one duplicate key per
+# overlapped bin into the SAME global pair sort (TIER2^2 * 2048 extra
+# pairs ~ +13% sort at 400k) — so their segments stay depth-complete and
+# the expensive big-path (T, C+Kb) merge row-sort + coverage matrix run
+# only for footprints beyond TIER2 (ultra-rare: flagship has ZERO
+# gaussians beyond 5x5 at 32px bins, so the big lax.cond finally skips).
+# Candidate default TIER2=5 once driven on-chip.
+TIER2 = int(os.environ.get("DIMO_TIER2", "0"))
+TIER2_K = 2048
+
+# Window readout route (DIMO_WINDMA=1): per-bin contiguous DMA windows
+# (windowdma.py) instead of the (T, C)-row XLA gather. Default off until
+# driven on-chip; the gather is the oracle/CPU reference path.
+WINDMA = os.environ.get("DIMO_WINDMA", "0") == "1"
+
 # depth quantization bits in the sort key: the int32 key packs
 # (bin id << depth_bits) | quantized depth, so the split adapts to the bin
 # count — large images spend more bits on bins, smaller ones on depth.
@@ -146,6 +164,44 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     small = alive & (cmax - cmin < kc) & (rmax - rmin < kr)
     big = alive & ~small
 
+    # --- medium tier (DIMO_TIER2): depth-top_k compaction + duplicate keys
+    # into the same global sort; see the TIER2 comment above.
+    med_keys = med_vals = None
+    med_drop = jnp.zeros((), jnp.int32)
+    if TIER2 > max(kr, kc):
+        med = big & (cmax - cmin < TIER2) & (rmax - rmin < TIER2)
+        big = big & ~med
+        n_med = jnp.sum(med.astype(jnp.int32))
+        k_med = min(TIER2_K, n)
+        sentinel = jnp.iinfo(jnp.int32).max
+
+        def _med_on(_):
+            med_key = jnp.where(med, dq, depth_max + 1)
+            neg_md, med_i = jax.lax.top_k(-med_key, k_med)   # by depth
+            med_dq = -neg_md                                 # (Km,)
+            mvalid = med_dq <= depth_max
+            rmin_m, rmax_m = rmin[med_i], rmax[med_i]
+            cmin_m, cmax_m = cmin[med_i], cmax[med_i]
+            mk, mv = [], []
+            for dr in range(TIER2):
+                for dc in range(TIER2):
+                    need = (mvalid & (rmax_m - rmin_m >= dr)
+                            & (cmax_m - cmin_m >= dc))
+                    b = (rmin_m + dr) * ncols + (cmin_m + dc)
+                    mk.append(jnp.where(need, (b << depth_bits) | med_dq,
+                                        sentinel))
+                    mv.append(med_i)
+            return jnp.concatenate(mk), jnp.concatenate(mv)
+
+        def _med_off(_):
+            shp = (TIER2 * TIER2 * k_med,)
+            return (jnp.full(shp, sentinel, jnp.int32),
+                    jnp.zeros(shp, jnp.int32))
+
+        med_keys, med_vals = jax.lax.cond(n_med > 0, _med_on, _med_off, 0)
+        # beyond k_med the DEEPEST mediums are dropped whole (counted)
+        med_drop = jnp.maximum(n_med - k_med, 0)
+
     # --- small path: one (bin||depth, gid) key pair per overlapped bin
     # (<= KR*KC, sentinels elsewhere), built as FLAT (N,) arrays — building
     # keys as one (N,KR,KC) array measured ~10x slower (minor dims of 2-4
@@ -159,6 +215,9 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
             b = (rmin + dr) * ncols + (cmin + dc)
             keys.append(jnp.where(need, (b << depth_bits) | dq, sentinel))
             vals.append(gid)
+    if med_keys is not None:
+        keys.append(med_keys)
+        vals.append(med_vals)
     skey, sval = jax.lax.sort(
         (jnp.concatenate(keys), jnp.concatenate(vals)), num_keys=1)
     nd = skey.shape[0]
@@ -174,7 +233,13 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
     pairs = jnp.stack([skey, sval], axis=1)                             # (ND,2)
     offs = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None]
     inc = offs < ends[:, None]                                          # (T,C)
-    rows = pairs[jnp.minimum(offs, nd - 1)]                             # (T,C,2)
+    if WINDMA:
+        # contiguous-window DMA readout (see windowdma.py): one 8*C-byte
+        # copy per bin instead of T*C gathered rows
+        from dimo_tpu.ops.rasterizer import windowdma
+        rows = windowdma.gather_windows(pairs, starts, capacity)        # (T,C,2)
+    else:
+        rows = pairs[jnp.minimum(offs, nd - 1)]                         # (T,C,2)
     small_dq = jnp.where(inc, rows[..., 0] & depth_max, depth_max + 1)
     small_idx = jnp.where(inc, rows[..., 1], n)
 
@@ -230,7 +295,7 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
         return idx, count, overflow + jnp.maximum(n_big - k_big, 0)
 
     idx, count, overflow = jax.lax.cond(n_big > 0, _with_big, _small_only, 0)
-    return TileLists(idx=idx, count=count, overflow=overflow)
+    return TileLists(idx=idx, count=count, overflow=overflow + med_drop)
 
 
 def pack_attrs(mean2d, conic, opacity, color, depth, normal,

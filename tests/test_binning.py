@@ -162,6 +162,50 @@ class TestBinListsBruteForce:
                 total_drop += max(len(members) - cap, 0)
             assert overflow == total_drop
 
+    def test_tier2_medium_tier_oracle(self, monkeypatch):
+        """DIMO_TIER2=5 (tiles.py): mediums (footprint <= 5x5) are
+        compacted by depth top_k and ride the global pair sort; only
+        giants beyond 5x5 take the big-path merge. Same oracle contract
+        on a scene mixing small (<16px), medium (16-64px), and giant
+        (>64px) radii at 32x32 bins."""
+        monkeypatch.setattr(T, "TIER2", 5)
+        rng = np.random.RandomState(11)
+        nrows, ncols, bh, bw = 6, 6, 32, 32
+        n, cap = 300, 96
+        mean2d, radius, depth, ok = _scene(rng, n, 192, 1.0, 14.0)
+        for g in range(0, n, 10):                       # medium tier
+            radius[g] = rng.uniform(17, 62)
+        for g in range(0, n, 75):                       # giants: big path
+            radius[g] = rng.uniform(70, 150)
+        idx, count, overflow = _run(mean2d, radius, depth, ok,
+                                    nrows, ncols, bh, bw, cap)
+        brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
+        total_drop = 0
+        for t, (members, dq) in brute.items():
+            got = list(idx[t][:count[t]])
+            assert count[t] == min(len(members), cap), t
+            assert sorted(got) == sorted(members[:cap]), t
+            assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
+            total_drop += max(len(members) - cap, 0)
+        assert overflow == total_drop
+
+    def test_windma_readout_matches_gather(self, monkeypatch):
+        """DIMO_WINDMA=1 (windowdma.py): the per-bin contiguous DMA window
+        readout must be row-for-row identical to the XLA gather route on
+        the same scene (interpret mode on CPU), including capacity
+        truncation and overflowing windows near the array end."""
+        monkeypatch.setattr(T, "WINDMA", False)
+        rng = np.random.RandomState(13)
+        nrows, ncols, bh, bw = 4, 6, 32, 32
+        n, cap = 300, 64
+        mean2d, radius, depth, ok = _scene(rng, n, 192, 1.0, 20.0)
+        ref = _run(mean2d, radius, depth, ok, nrows, ncols, bh, bw, cap)
+        monkeypatch.setattr(T, "WINDMA", True)
+        got = _run(mean2d, radius, depth, ok, nrows, ncols, bh, bw, cap)
+        assert (got[0] == ref[0]).all()
+        assert (got[1] == ref[1]).all()
+        assert got[2] == ref[2]
+
     def test_duplicate_depth_keys_keep_membership(self):
         # colliding quantized depths: order within ties is unspecified,
         # membership and counts must still be exact
