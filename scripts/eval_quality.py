@@ -28,9 +28,17 @@ import numpy as np
 PSNR_GATE = 26.0
 
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# IN-REPO by default: /tmp and untracked files are wiped between build
+# rounds — an hours-scale run survives only if its snapshots are
+# committed. Commit the latest snap_*/ dir before a round ends.
+_DEFAULT_RUN_DIR = os.path.join(_REPO, "runs", "eval_quality")
+
+
 def build_config(scale512: bool = False, fast: bool = False,
                  iters: str | None = None,
-                 videos: str = "/tmp/eval_quality_videos"):
+                 videos: str = "/tmp/eval_quality_videos",
+                 run_dir: str = _DEFAULT_RUN_DIR):
     """Dataset shape + Trainer opt for the gate (unit-tested wiring).
 
     scale512 is the reference-scale gate (VERDICT r2 #3): 512^2 ref_size
@@ -51,7 +59,7 @@ def build_config(scale512: bool = False, fast: bool = False,
     common = dict(
         ref_size=S, W=S, H=S, num_views=V, num_frames=F,
         batch_size=2, iters_s1=iters_s1, iters_s2=iters_s2,
-        save_path="/tmp/eval_quality_run",
+        save_path=run_dir,
         video_save_dir=videos,
         # escalation ceiling 2048: the round-2 tile_capacity=4096 device
         # fault reproduced 2026-08-19 at the 256^2 eval shape (TPU worker
@@ -94,6 +102,10 @@ def main():
                     help="disable the LPIPS term (fallback A/B, VERDICT r2 #4)")
     ap.add_argument("--out", default="eval_quality.json")
     ap.add_argument("--videos", default="/tmp/eval_quality_videos")
+    ap.add_argument("--run-dir", default=_DEFAULT_RUN_DIR,
+                    help="save/snapshot root (IN-REPO default: commit the "
+                         "snap_*/ dir before a round ends or the run's "
+                         "progress is lost with the checkout)")
     ap.add_argument("--snapshot-every", type=int, default=500,
                     help="elastic-resume snapshot cadence (0 disables); "
                          "re-running the same command continues an "
@@ -109,7 +121,7 @@ def main():
 
     M, V, F, S, iters_s1, iters_s2, opt = build_config(
         scale512=args.scale512, fast=args.fast, iters=args.iters,
-        videos=args.videos)
+        videos=args.videos, run_dir=args.run_dir)
     images, masks, meta = make_synthetic_videos(
         num_motions=M, num_views=V, num_frames=F, ref_size=S, n_gauss=150,
         seed=0)
