@@ -31,7 +31,11 @@ PSNR_GATE = 26.0
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # IN-REPO by default: /tmp and untracked files are wiped between build
 # rounds — an hours-scale run survives only if its snapshots are
-# committed. Commit the latest snap_*/ dir before a round ends.
+# committed. Commit the latest snap_*/ dir of a STILL-RUNNING run before
+# a round ends (train_dynamic clears the snapshot on successful
+# completion, so a finished run persists via --out JSON + stage
+# checkpoints, not snap_*/). Note runs_r4/ and runs_r5/ are gitignored;
+# this default (runs/) is not.
 _DEFAULT_RUN_DIR = os.path.join(_REPO, "runs", "eval_quality")
 
 

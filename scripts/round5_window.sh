@@ -1,10 +1,13 @@
 #!/bin/bash
 # Round-5 chip plan (run pieces in THIS order; one TPU process at a time):
 #
-#   1. FIRST: finish the scale512 eval (resumes at s2 step ~7800/10000,
-#      ~1h incl. final PSNR+videos):
-#        timeout 7200 python -u scripts/eval_quality.py --scale512 \
+#   1. FIRST: run the scale512 eval FROM SCRATCH (the round-4 snapshots
+#      at s2 step ~7800 were untracked and are GONE — the driver wipes
+#      untracked files between rounds; budget ~3h for 2800+10000 steps):
+#        timeout 14400 python -u scripts/eval_quality.py --scale512 \
 #          --no-lpips --snapshot-every 250 --out eval_quality.json
+#      Snapshots land under runs/eval_quality/snap_*/ (NOT gitignored) —
+#      `git add runs/ && git commit` every few snapshots while it runs.
 #      (--no-lpips is deliberate: round-4 A/B proved the random-VGG
 #      fallback quality-neutral at ~2x step cost; steps 0-500 of s2 ran
 #      with it before the switch — documented in PARITY.)
