@@ -135,6 +135,7 @@ def main() -> None:
     cap_badpx = float((dd > 1.0 / 255.0).mean())
     from dimo_tpu.ops.rasterizer import strips as strips_mod
     from dimo_tpu.ops.rasterizer import composite_strips as cs_mod
+    from dimo_tpu.ops.rasterizer import tiles as tiles_mod
     print(json.dumps({
         "metric": "render_fps_512_s2_100k",
         "value": round(fps, 2),
@@ -155,6 +156,8 @@ def main() -> None:
         "fwd_inloop": cs_mod.FWD_INLOOP,
         "strip_w": strips_mod.STRIP_W,
         "dup": strips_mod.DUP,
+        "tier2": tiles_mod.TIER2,
+        "windma": tiles_mod.WINDMA,
         **check,
     }))
 

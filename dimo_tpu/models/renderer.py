@@ -122,4 +122,5 @@ def render(
         "pts_t": means3d,
         "cpts_t": cpts_t,
         "overflow": out.overflow,
+        "overflow_max": out.overflow_max,
     }

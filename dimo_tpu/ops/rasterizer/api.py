@@ -34,6 +34,7 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray    # (1, H, W)
     radii: jnp.ndarray    # (N,) screen radii (0 = invisible)
     overflow: jnp.ndarray  # () dropped per-tile entries (capacity diag)
+    overflow_max: jnp.ndarray  # () worst single-strip drop (escalation diag)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -142,7 +143,8 @@ def rasterize(
     alpha = (1.0 - tfin)[None]
     return RenderOutput(
         image=image, depth=depth, normal=normal, alpha=alpha,
-        radii=p.radius, overflow=lists.overflow)
+        radii=p.radius, overflow=lists.overflow,
+        overflow_max=lists.overflow_max)
 
 
 def rasterize_dense(
@@ -173,4 +175,5 @@ def rasterize_dense(
         alpha=jnp.transpose(res["alpha"], (2, 0, 1)),
         radii=p.radius,
         overflow=jnp.zeros((), jnp.int32),
+        overflow_max=jnp.zeros((), jnp.int32),
     )

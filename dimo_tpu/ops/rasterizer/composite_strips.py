@@ -63,7 +63,12 @@ T_EXIT = 1e-4         # fwd-only chunk early-exit threshold (CUDA parity)
 LN2 = 0.6931471805599453
 
 G_FWD = int(os.environ.get("DIMO_SG_FWD", "64"))
-G_BWD = int(os.environ.get("DIMO_SG_BWD", "32"))
+# bwd gaussian block 64 since the 2026-08-20 QUIET-chip grad probe
+# (fps_probe PROBE_GRAD=1, 100 rounds): 68.55 ms vs 69.66 at 32 — the
+# round-4 contended-window result reproduced without contention, and 64
+# compiles fine (the round-3 VMEM concern applied to the pre-merged-dot
+# bwd). DIMO_SG_BWD=32 restores the old block.
+G_BWD = int(os.environ.get("DIMO_SG_BWD", "64"))
 # y-expansion route in _chunk_planes: "1" = sublane-repeat + column FMAs
 # (zero MXU), "0" = M9 one-hot matmul. On-chip sweep 2026-08-18 (cap1024,
 # flagship ch3): 4/repeat 173.4 fps > 8/repeat 173.0 > 8/matmul 171.6 >

@@ -85,6 +85,7 @@ class StripLists(NamedTuple):
     idx: jnp.ndarray      # (Ns, CS) int32 indices into the N+1-row table
     count: jnp.ndarray    # (Ns,) int32 live entries (<= CS)
     overflow: jnp.ndarray  # () int32 exact entries beyond capacity
+    overflow_max: jnp.ndarray  # () int32 worst single-strip drop
 
 
 def num_strips(height: int, width: int) -> tuple[int, int]:
@@ -105,7 +106,8 @@ def build_strip_lists(mean2d, radius, depth, ok, height: int, width: int,
                                       nrows, ncols, STRIP_H, STRIP_W,
                                       capacity, kr=DUP, kc=kc)
     return StripLists(idx=lists.idx, count=lists.count,
-                      overflow=lists.overflow)
+                      overflow=lists.overflow,
+                      overflow_max=lists.overflow_max)
 
 
 def coef_table(mean2d, conic, opacity, color, depth, normal,

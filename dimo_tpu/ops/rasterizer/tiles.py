@@ -63,14 +63,20 @@ DUP_KC = 2
 # the expensive big-path (T, C+Kb) merge row-sort + coverage matrix run
 # only for footprints beyond TIER2 (ultra-rare: flagship has ZERO
 # gaussians beyond 5x5 at 32px bins, so the big lax.cond finally skips).
-# Candidate default TIER2=5 once driven on-chip.
-TIER2 = int(os.environ.get("DIMO_TIER2", "0"))
+# DEFAULT 5 since the 2026-08-20 quiet-chip probe: 180.0 fps vs 178.7
+# base (no cost), and it makes the flagship render LOSSLESS — the 2x2
+# small path's k_big=1024 top-k dropped 205 of 1229 big gaussians at
+# every capacity (VERDICT r4 #5); with TIER2=5 the flagship's big path
+# never fires, so nothing is dropped. DIMO_TIER2=0 restores the 2-tier
+# binning.
+TIER2 = int(os.environ.get("DIMO_TIER2", "5"))
 TIER2_K = 2048
 
-# Window readout route (DIMO_WINDMA=1): per-bin contiguous DMA windows
-# (windowdma.py) instead of the (T, C)-row XLA gather. Default off until
+# Window readout route (DIMO_WINDMA=B): per-bin contiguous DMA windows
+# (windowdma.py) instead of the (T, C)-row XLA gather; B>1 keeps B DMAs
+# in flight per grid step (B=1 serializes start->wait). Default off until
 # driven on-chip; the gather is the oracle/CPU reference path.
-WINDMA = os.environ.get("DIMO_WINDMA", "0") == "1"
+WINDMA = int(os.environ.get("DIMO_WINDMA", "0"))
 
 # depth quantization bits in the sort key: the int32 key packs
 # (bin id << depth_bits) | quantized depth, so the split adapts to the bin
@@ -104,6 +110,9 @@ class TileLists(NamedTuple):
     idx: jnp.ndarray      # (T, C) int32 indices into the N+1-row attr table
     count: jnp.ndarray    # (T,) int32 number of valid entries (<= C)
     overflow: jnp.ndarray  # () int32 total entries dropped by capacity
+    overflow_max: jnp.ndarray  # () int32 worst single-bin drop (escalation
+    #                          signal: total/batch dilutes truncation that is
+    #                          concentrated in one silhouette-dense bin)
 
 
 def num_tiles(height: int, width: int) -> tuple[int, int]:
@@ -237,7 +246,8 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
         # contiguous-window DMA readout (see windowdma.py): one 8*C-byte
         # copy per bin instead of T*C gathered rows
         from dimo_tpu.ops.rasterizer import windowdma
-        rows = windowdma.gather_windows(pairs, starts, capacity)        # (T,C,2)
+        rows = windowdma.gather_windows(pairs, starts, capacity,
+                                        nburst=WINDMA)                  # (T,C,2)
     else:
         rows = pairs[jnp.minimum(offs, nd - 1)]                         # (T,C,2)
     small_dq = jnp.where(inc, rows[..., 0] & depth_max, depth_max + 1)
@@ -256,8 +266,8 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
 
     def _small_only(_):
         count = jnp.minimum(seg_len, capacity)
-        overflow = jnp.sum(jnp.maximum(seg_len - capacity, 0))
-        return small_idx, count, overflow
+        drops = jnp.maximum(seg_len - capacity, 0)
+        return small_idx, count, jnp.sum(drops), jnp.max(drops)
 
     def _with_big(_):
         # k_big bounds how many oversized gaussians survive globally; the
@@ -291,11 +301,18 @@ def build_bin_lists(mean2d, radius, depth, ok, nrows: int, ncols: int,
         # exact per-tile totals: duplicate keys make the small segment
         # lengths exact; big-path overlaps come from the (T, Kb) matrix
         per_tile_total = seg_len + jnp.sum(ovb.astype(jnp.int32), axis=1)
-        overflow = jnp.sum(jnp.maximum(per_tile_total - capacity, 0))
-        return idx, count, overflow + jnp.maximum(n_big - k_big, 0)
+        drops = jnp.maximum(per_tile_total - capacity, 0)
+        # k_big truncation drops whole gaussians globally — counted in the
+        # total (it is real signal) but NOT in overflow_max: capacity
+        # escalation cannot fix it (k_big is static), so it must not drive
+        # the escalation loop.
+        return (idx, count, jnp.sum(drops) + jnp.maximum(n_big - k_big, 0),
+                jnp.max(drops))
 
-    idx, count, overflow = jax.lax.cond(n_big > 0, _with_big, _small_only, 0)
-    return TileLists(idx=idx, count=count, overflow=overflow + med_drop)
+    idx, count, overflow, ovmax = jax.lax.cond(
+        n_big > 0, _with_big, _small_only, 0)
+    return TileLists(idx=idx, count=count, overflow=overflow + med_drop,
+                     overflow_max=ovmax)
 
 
 def pack_attrs(mean2d, conic, opacity, color, depth, normal,

@@ -32,42 +32,65 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(cap2: int, starts_ref, pairs_ref, out_ref, sem):
+def _kernel(cap2: int, nburst: int, starts_ref, pairs_ref, out_ref, sems):
+    """One grid step issues `nburst` window DMAs back to back, then waits
+    them all: the copies are independent, so keeping a burst in flight
+    hides the per-DMA issue latency that a start->wait pair serializes."""
     t = pl.program_id(0)
-    s = starts_ref[t]
-    dma = pltpu.make_async_copy(
-        pairs_ref.at[pl.ds(2 * s, cap2)],
-        out_ref.at[t],
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    dmas = []
+    for j in range(nburst):                       # static unroll
+        b = t * nburst + j
+        dmas.append(pltpu.make_async_copy(
+            pairs_ref.at[pl.ds(2 * starts_ref[b], cap2)],
+            out_ref.at[b],
+            sems.at[j],
+        ))
+    for dma in dmas:
+        dma.start()
+    for dma in dmas:
+        dma.wait()
 
 
 def gather_windows(pairs: jnp.ndarray, starts: jnp.ndarray,
-                   capacity: int) -> jnp.ndarray:
+                   capacity: int, nburst: int = 1) -> jnp.ndarray:
     """(ND, 2) int32 sorted pairs + (T,) int32 window starts ->
     (T, capacity, 2) window rows. Rows past the source end are padding
     (callers mask with their own validity window, same contract as the
-    clamped-gather path). One contiguous 8*capacity-byte DMA per bin."""
+    clamped-gather path). One contiguous 8*capacity-byte DMA per bin;
+    `nburst` > 1 keeps that many DMAs in flight per grid step
+    (DIMO_WINDMA=B)."""
     nd = pairs.shape[0]
     t = starts.shape[0]
+    nburst = max(1, min(nburst, t))
+    t_pad = ((t + nburst - 1) // nburst) * nburst
     cap2 = 2 * capacity
     # pad so every window [2s, 2s+cap2) is in-bounds without clamping
-    # (starts <= nd by construction: searchsorted over nd keys)
+    # (starts <= nd by construction: searchsorted over nd keys); padded
+    # grid slots read window 0 harmlessly and are sliced off below
     flat = jnp.concatenate(
         [pairs.reshape(-1), jnp.zeros((cap2,), pairs.dtype)])
+    starts_pad = jnp.concatenate(
+        [starts.astype(jnp.int32),
+         jnp.zeros((t_pad - t,), jnp.int32)]) if t_pad > t else (
+        starts.astype(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        grid=(t_pad // nburst,),
+        # the pairs source MUST be pinned to HBM: under memory_space=ANY
+        # Mosaic promoted the 3.2 MB array to VMEM, where a 1-D memref
+        # slice at a dynamic element offset must be provably divisible by
+        # the (1024,) tiling — the 2026-08-20 on-chip probe failed to
+        # compile with exactly that error. HBM slices carry no tiling
+        # constraint, and HBM->HBM window copies are what this kernel is
+        # about (the consumer reads `out` from XLA afterwards anyway).
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nburst,))],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, cap2),
+        functools.partial(_kernel, cap2, nburst),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, cap2), pairs.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, cap2), pairs.dtype),
         interpret=_interpret(),
-    )(starts.astype(jnp.int32), flat)
-    return out.reshape(t, capacity, 2)
+    )(starts_pad, flat)
+    return out[:t].reshape(t, capacity, 2)

@@ -280,9 +280,14 @@ class Trainer:
         if self.tile_capacity >= cap_max:
             return
         ov = float(metrics["overflow"])
+        ovm = float(metrics.get("overflow_max", 0.0))
         b = self._last_b
-        # dropping > 25% of one tile's capacity per render, sustained
-        if ov / b > 0.25 * self.tile_capacity:
+        # sustained heavy truncation: EITHER one strip drops >25% of its
+        # capacity (overflow_max — catches truncation concentrated in a
+        # single silhouette-dense strip, which the batch-total proxy
+        # dilutes), OR total drops per render exceed 25% of one strip's
+        # capacity (the original diffuse-drop proxy)
+        if ovm > 0.25 * self.tile_capacity or ov / b > 0.25 * self.tile_capacity:
             self._overflow_strikes += 1
         else:
             self._overflow_strikes = 0
@@ -313,14 +318,21 @@ class Trainer:
         if load_stage:
             self.load_checkpoint(load_stage)
 
-        # an explicit load_stage request overrides any stale snapshot: the
-        # user asked to (re)start from a stage checkpoint, not to continue
-        # a previous run
-        snap = bool(snapshot_every and snapshot_dir and not load_stage)
+        # an explicit load_stage request overrides a snapshot of the SAME
+        # or EARLIER phase (the user asked to (re)start from that stage
+        # checkpoint, not to continue a previous run) — but a snapshot of
+        # a LATER phase is this run's own elastic progress past the loaded
+        # stage (e.g. load_stage="s1" to skip stage 1, then resume the s2
+        # snapshots across relaunches) and wins
+        snap = bool(snapshot_every and snapshot_dir)
         start_s1 = start_s2 = 0
         s2_prepared = False
         if snap:
-            meta = self.load_snapshot(snapshot_dir)
+            # peek at the phase BEFORE load_snapshot (which mutates state):
+            # a discarded snapshot must not clobber the load_checkpoint above
+            peek = self.peek_snapshot_phase(snapshot_dir)
+            use = peek is not None and (not load_stage or peek > load_stage)
+            meta = self.load_snapshot(snapshot_dir) if use else None
             if meta is not None:
                 if meta["phase"] == "s1":
                     start_s1 = meta["done"]
@@ -378,6 +390,9 @@ class Trainer:
         step_fn = self.get_step_fn(self.stage, res, shape, lpips_fn)
         self._last_b = max(1, int(batch["times"].shape[0]))
         self.state, metrics = step_fn(self.state, batch)
+        if int(metrics.get("nonfinite_grad", 0)):
+            print(f"[guard] step {self.step}: non-finite gradient — "
+                  "update skipped (params/moments untouched)")
         self._check_overflow(metrics)
         try:
             self.log_fn(self.stage, self.step, metrics, trainer=self)
@@ -689,6 +704,16 @@ class Trainer:
                 os.remove(os.path.join(dir_path, name))
             except FileNotFoundError:
                 pass
+
+    def peek_snapshot_phase(self, dir_path: str):
+        """Phase ("s1"/"s2") of the snapshot in dir_path, or None — without
+        restoring it (train_dynamic decides resume-vs-override first)."""
+        import json
+        meta_path = os.path.join(dir_path, "snapshot_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            return json.load(f).get("phase")
 
     def load_snapshot(self, dir_path: str):
         """Restore a save_snapshot; returns its meta dict or None if absent

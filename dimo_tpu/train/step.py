@@ -19,6 +19,7 @@ Step-dependent gates are jnp.where weights so the step never recompiles.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import jax
@@ -33,6 +34,16 @@ from dimo_tpu.ops import image_losses as L
 from dimo_tpu.ops import neighbors
 from dimo_tpu.train import optim
 from dimo_tpu.utils import schedules
+
+# Batched-render mapping strategy (chip probe scripts/probe_render_map.py,
+# 2026-08-20, B=16 512^2 100k-gaussian fwd+bwd of the render):
+#   vmap 1846 ms | lax.map seq 1202 ms | batch_size=4 1739 | batch_size=8 1580
+# Sequential mapping wins 1.54x: each render's backward keeps a small
+# working set (the vmapped bwd spills), and the binning big-path lax.cond
+# stays a real branch instead of vmap's execute-both-branches select.
+# DIMO_RENDER_CHUNK: 1 (default) = lax.map scan, one render per iteration;
+# 0 = vmap (the pre-round-5 strategy); K>1 = lax.map batch_size=K.
+RENDER_CHUNK = int(os.environ.get("DIMO_RENDER_CHUNK", "1"))
 
 
 @struct.dataclass
@@ -183,12 +194,18 @@ def make_train_step(
                           mean2d_tap=tap, use_oracle=use_oracle)
 
         if lcfg.vae:
-            outs = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
-                cams, batch["times"], batch["latent_idx"], taps,
-                jnp.stack(render_rngs))
+            xs = (cams, batch["times"], batch["latent_idx"], taps,
+                  jnp.stack(render_rngs))
+            fn = one
         else:
-            outs = jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
-                cams, batch["times"], batch["latent_idx"], taps, None)
+            xs = (cams, batch["times"], batch["latent_idx"], taps)
+            fn = lambda cam, t, li, tap: one(cam, t, li, tap, None)  # noqa: E731
+        if RENDER_CHUNK == 0:
+            outs = jax.vmap(fn)(*xs)
+        else:
+            outs = jax.lax.map(
+                lambda a: fn(*a), xs,
+                batch_size=RENDER_CHUNK if RENDER_CHUNK > 1 else None)
 
         imgs = outs["image"]                                  # (B, 3, h, w)
         masks = outs["alpha"]
@@ -332,6 +349,7 @@ def make_train_step(
             "smooth": smooth_l,
             "bilateral": bilat_l,
             "overflow": jnp.sum(outs["overflow"]),
+            "overflow_max": jnp.max(outs["overflow_max"]),
         }
         vis_aux = {
             "radii": outs["radii"][-1],
@@ -355,8 +373,24 @@ def make_train_step(
         lrs = group_lrs(lcfg, step, stage,
                         trainable_groups=trainable_groups)
         lr_tree = optim.build_lr_tree(state.params, lrs)
-        new_params, new_opt = optim.update(state.params, gparams, state.opt,
+
+        # Non-finite-gradient guard: one inf/nan leaf would poison the
+        # Adam moments and every subsequent step (the 2026-08-20 scale512
+        # run diverged to 100% NaN params this way). A step whose grads
+        # are not fully finite is SKIPPED — params and moments untouched —
+        # and surfaced as metrics["nonfinite_grad"] so the trainer can
+        # log/alert. Costs one isfinite pass over the grads (~free next
+        # to the render backward).
+        grads_ok = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)),
+            gparams, jnp.bool_(True))
+        gparams = jax.tree.map(
+            lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), gparams)
+        upd_params, upd_opt = optim.update(state.params, gparams, state.opt,
                                            lr_tree)
+        new_params, new_opt = jax.tree.map(
+            lambda new, old: jnp.where(grads_ok, new, old),
+            (upd_params, upd_opt), (state.params, state.opt))
 
         # densification statistics from the LAST render in the batch
         # (reference: out of the python loop, `main_train_dimo.py:429-431`),
@@ -377,6 +411,7 @@ def make_train_step(
         new_state = TrainState(params=new_params, aux=new_aux, opt=new_opt,
                                step=step, rng=rng)
         metrics = dict(metrics)
+        metrics["nonfinite_grad"] = (~grads_ok).astype(jnp.int32)
         metrics["debug_render"] = vis_aux["debug_render"]
         metrics["debug_gt"] = vis_aux["debug_gt"]
         return new_state, metrics

@@ -114,6 +114,11 @@ def main():
                     help="elastic-resume snapshot cadence (0 disables); "
                          "re-running the same command continues an "
                          "interrupted run from the last snapshot")
+    ap.add_argument("--load-stage", default="",
+                    help="skip finished stages by loading their committed "
+                         "checkpoint from the run dir (e.g. 's1' reuses a "
+                         "clean stage-1 and trains only s2; s2 snapshots "
+                         "still resume across relaunches)")
     args = ap.parse_args()
 
     import jax
@@ -138,7 +143,7 @@ def main():
     # scales) must not resume each other's runs
     tag = f"snap_{S}_{iters_s1}+{iters_s2}_" \
           f"{'nolpips' if args.no_lpips else 'lpips'}"
-    tr.train_dynamic(iters_s1, iters_s2, "", lpips_fn=lpips_fn,
+    tr.train_dynamic(iters_s1, iters_s2, args.load_stage, lpips_fn=lpips_fn,
                      snapshot_every=args.snapshot_every,
                      snapshot_dir=os.path.join(opt.save_path, tag))
     train_s = time.time() - t0

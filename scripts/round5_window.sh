@@ -24,7 +24,11 @@
 #        timeout 1800 python -u scripts/profile_train.py
 #        timeout 1800 python -u scripts/profile_grad_parts.py
 #
-#   4. Flip any winning defaults, rerun CPU oracle tests, commit, and
+#   4. cap4096 device-fault bisection (VERDICT r4 #2; ~10 min/combo):
+#        python -u scripts/bisect_cap4096.py --iters 40,60          # repro
+#        python -u scripts/bisect_cap4096.py --matrix --iters 40,60 # bisect
+#
+#   5. Flip any winning defaults, rerun CPU oracle tests, commit, and
 #      re-run `python bench.py` once at the end for the round evidence.
 set -u
 cd "$(dirname "$0")/.."
@@ -42,7 +46,8 @@ if [ "${1:-}" = "probes" ]; then
   probe base
   probe tier2        DIMO_TIER2=5
   probe windma       DIMO_WINDMA=1
-  probe tier2_windma DIMO_TIER2=5 DIMO_WINDMA=1
+  probe windma8      DIMO_WINDMA=8
+  probe tier2_windma DIMO_TIER2=5 DIMO_WINDMA=8
   # grad-mode re-check of the bwd chunk knob on a quiet chip
   timeout 900 env PROBE_GRAD=1 python -u scripts/fps_probe.py 100 1024 3 \
     2>&1 | tail -1 | tee "$LOG/grad_base.txt"

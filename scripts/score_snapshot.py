@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--frames", type=int, default=0,
                     help="score only the first K frames (0 = all)")
     ap.add_argument("--out", default="eval_progress.json")
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="override the eval tile capacity (0 = the run's "
+                         "live escalated capacity). Scoring one snapshot "
+                         "at the live ceiling vs a huge value (e.g. 8192) "
+                         "on CPU separates truncation-induced dB loss "
+                         "from model/schedule quality — the capacity "
+                         "ceiling is the leading suspect for the 26 dB "
+                         "gate misses (VERDICT r4)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +70,7 @@ def main():
 
     bg = jnp.ones((3,))
     knn = jax.jit(find_knn)(tr.state.params, tr.state.aux)
-    eval_cap = int(tr.tile_capacity)
+    eval_cap = int(args.capacity or tr.tile_capacity)
 
     @jax.jit
     def one(cam, t, li):

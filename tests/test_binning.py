@@ -61,7 +61,7 @@ def _run(mean2d, radius, depth, ok, nrows, ncols, bin_h, bin_w, cap,
                               jnp.asarray(depth), jnp.asarray(ok),
                               nrows, ncols, bin_h, bin_w, cap, **kw)
     return (np.asarray(lists.idx), np.asarray(lists.count),
-            int(lists.overflow))
+            int(lists.overflow), int(lists.overflow_max))
 
 
 class TestBinListsBruteForce:
@@ -71,10 +71,11 @@ class TestBinListsBruteForce:
         n, cap = 300, 128
         mean2d, radius, depth, ok = _scene(rng, n, max(ncols * bw, nrows * bh),
                                            1.0, 20.0)
-        idx, count, overflow = _run(mean2d, radius, depth, ok,
-                                    nrows, ncols, bh, bw, cap)
+        idx, count, overflow, ovmax = _run(mean2d, radius, depth, ok,
+                                           nrows, ncols, bh, bw, cap)
         brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
         total_drop = 0
+        max_drop = 0
         for t, (members, dq) in brute.items():
             got = list(idx[t][:count[t]])
             assert count[t] == min(len(members), cap), (t, count[t],
@@ -86,7 +87,9 @@ class TestBinListsBruteForce:
             assert sorted(got) == sorted(expect), (t, got, expect)
             assert [dq[g] for g in got] == sorted(dq[g] for g in got), t
             total_drop += max(len(members) - cap, 0)
+            max_drop = max(max_drop, len(members) - cap)
         assert overflow == total_drop
+        assert ovmax == max_drop
 
     def test_big_path_and_mixed(self):
         rng = np.random.RandomState(1)
@@ -96,7 +99,7 @@ class TestBinListsBruteForce:
         # a handful of oversized gaussians spanning many bins (big path)
         for g in range(0, 200, 40):
             radius[g] = rng.uniform(80, 200)
-        idx, count, overflow = _run(mean2d, radius, depth, ok,
+        idx, count, overflow, _ovm = _run(mean2d, radius, depth, ok,
                                     nrows, ncols, bh, bw, cap)
         brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
         for t, (members, dq) in brute.items():
@@ -111,7 +114,7 @@ class TestBinListsBruteForce:
         radius = np.ones(n, np.float32)
         depth = np.arange(1, n + 1, dtype=np.float32)
         ok = np.ones(n, bool)
-        idx, count, overflow = _run(mean2d, radius, depth, ok,
+        idx, count, overflow, _ovm = _run(mean2d, radius, depth, ok,
                                     nrows, ncols, bh, bw, 8)
         assert count.sum() == 0 and overflow == 0
         assert (idx == n).all()
@@ -125,7 +128,7 @@ class TestBinListsBruteForce:
         nrows, ncols, bh, bw = 32, 32, 32, 32          # 1024 bins
         n, cap = 200, 32
         mean2d, radius, depth, ok = _scene(rng, n, 1024, 2.0, 24.0)
-        idx, count, overflow = _run(mean2d, radius, depth, ok,
+        idx, count, overflow, _ovm = _run(mean2d, radius, depth, ok,
                                     nrows, ncols, bh, bw, cap)
         brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
         total_drop = 0
@@ -149,7 +152,7 @@ class TestBinListsBruteForce:
         for g in range(0, n, 60):                       # >32px: big path
             radius[g] = rng.uniform(40, 120)
         for kwargs in ({"kr": 3, "kc": 3},):
-            idx, count, overflow = _run(mean2d, radius, depth, ok,
+            idx, count, overflow, _ovm = _run(mean2d, radius, depth, ok,
                                         nrows, ncols, bh, bw, cap, **kwargs)
             brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols,
                                 bh, bw)
@@ -177,7 +180,7 @@ class TestBinListsBruteForce:
             radius[g] = rng.uniform(17, 62)
         for g in range(0, n, 75):                       # giants: big path
             radius[g] = rng.uniform(70, 150)
-        idx, count, overflow = _run(mean2d, radius, depth, ok,
+        idx, count, overflow, _ovm = _run(mean2d, radius, depth, ok,
                                     nrows, ncols, bh, bw, cap)
         brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
         total_drop = 0
@@ -194,17 +197,20 @@ class TestBinListsBruteForce:
         readout must be row-for-row identical to the XLA gather route on
         the same scene (interpret mode on CPU), including capacity
         truncation and overflowing windows near the array end."""
-        monkeypatch.setattr(T, "WINDMA", False)
+        monkeypatch.setattr(T, "WINDMA", 0)
         rng = np.random.RandomState(13)
         nrows, ncols, bh, bw = 4, 6, 32, 32
         n, cap = 300, 64
         mean2d, radius, depth, ok = _scene(rng, n, 192, 1.0, 20.0)
         ref = _run(mean2d, radius, depth, ok, nrows, ncols, bh, bw, cap)
-        monkeypatch.setattr(T, "WINDMA", True)
-        got = _run(mean2d, radius, depth, ok, nrows, ncols, bh, bw, cap)
-        assert (got[0] == ref[0]).all()
-        assert (got[1] == ref[1]).all()
-        assert got[2] == ref[2]
+        # nburst=1 (serial start->wait), 8 (in-flight burst; 24 bins is
+        # not a multiple of 8? 4*6=24 => pad-free), 7 (forces grid padding)
+        for burst in (1, 8, 7):
+            monkeypatch.setattr(T, "WINDMA", burst)
+            got = _run(mean2d, radius, depth, ok, nrows, ncols, bh, bw, cap)
+            assert (got[0] == ref[0]).all(), burst
+            assert (got[1] == ref[1]).all(), burst
+            assert got[2] == ref[2], burst
 
     def test_duplicate_depth_keys_keep_membership(self):
         # colliding quantized depths: order within ties is unspecified,
@@ -215,7 +221,7 @@ class TestBinListsBruteForce:
         mean2d, radius, depth, ok = _scene(rng, n, 128, 1.0, 10.0,
                                            distinct_depth=False)
         depth[:] = np.repeat(depth[:64], 4)            # heavy ties
-        idx, count, overflow = _run(mean2d, radius, depth, ok,
+        idx, count, overflow, _ovm = _run(mean2d, radius, depth, ok,
                                     nrows, ncols, bh, bw, cap)
         brute = _brute_bins(mean2d, radius, depth, ok, nrows, ncols, bh, bw)
         for t, (members, dq) in brute.items():

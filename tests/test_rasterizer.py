@@ -332,6 +332,10 @@ print("knob-combo ok: img", ie, "grad", ge)
         {"DIMO_STRIP_W": "16", "DIMO_FWD_INLOOP": "0"},
         # 3x3 duplication footprint (big path skipped) + wide bwd chunks
         {"DIMO_DUP": "3", "DIMO_SG_BWD": "64"},
+        # tiered-duplication mediums + burst window-DMA readout (the
+        # round-5 candidate defaults; binning-level oracles live in
+        # test_binning, this guards the full fwd+grad render wiring)
+        {"DIMO_TIER2": "5", "DIMO_WINDMA": "8"},
     ]
 
     @pytest.mark.parametrize("knobs", COMBOS,
