@@ -30,14 +30,25 @@ def knn_weights(nn_dist: jnp.ndarray, c_radius_n: jnp.ndarray) -> jnp.ndarray:
     inputs are (K, N)); dists carry no gradient (the reference computes KNN
     on detached tensors)."""
     nn_dist = lax.stop_gradient(nn_dist)
-    w = jnp.exp(-(nn_dist ** 2) / (2.0 * (c_radius_n ** 2))) + EPS
+    # r^2 floored at 1e-8 (r ~ 1e-4): for radii that small the kernel is
+    # ~0 at any real distance, so the FORWARD is unchanged — but the raw
+    # backward is exp(-d^2/2r^2) * d^2/r^3, an 0*inf=NaN as r -> 0 (the
+    # 2026-08-20 scale512 collapse signature: finite forward, non-finite
+    # grads). The floor routes the degenerate branch through max()'s zero
+    # cotangent instead.
+    r2 = jnp.maximum(c_radius_n * c_radius_n, 1e-8)
+    w = jnp.exp(-(nn_dist ** 2) / (2.0 * r2)) + EPS
     return w / jnp.sum(jnp.abs(w), axis=0, keepdims=True)
 
 
 def _rotate_flat(qw, qx, qy, qz, vx, vy, vz):
     """Rotate (vx,vy,vz) rows by the NORMALIZED quaternion rows — the
     rotation-matrix formula expanded over flat (N,) components."""
-    inv = lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12)
+    # same degenerate-norm floor as the compose below: rsqrt backward is
+    # x^{-3/2}, so a near-zero-norm quat (drifted TimeNet d_rot head)
+    # must hit max()'s zero cotangent, not a 1e18 gradient
+    inv = lax.rsqrt(jnp.maximum(
+        qw * qw + qx * qx + qy * qy + qz * qz, 1e-6))
     qw, qx, qy, qz = qw * inv, qx * inv, qy * inv, qz * inv
     rx = ((1 - 2 * (qy * qy + qz * qz)) * vx
           + 2 * (qx * qy - qw * qz) * vy
@@ -111,7 +122,14 @@ def lbs_blend(
     ox = rw * bx + rx * bw + ry * bz - rz * by
     oy = rw * by - rx * bz + ry * bw + rz * bx
     oz = rw * bz + rx * by - ry * bx + rz * bw
-    inv = lax.rsqrt(ow * ow + ox * ox + oy * oy + oz * oz + 1e-12)
+    # norm^2 floored at 1e-6: quaternion blending has no hemisphere
+    # alignment (reference parity — raw weighted sum), so neighbors that
+    # drift to opposite double-cover hemispheres (q vs -q) can CANCEL;
+    # rsqrt's backward is -x^{-3/2}/2 ~ 1e18 at the old 1e-12 eps. Where
+    # the floor binds the rotation was degenerate anyway; max() zeroes
+    # the cotangent on that branch instead of exploding it.
+    inv = lax.rsqrt(jnp.maximum(
+        ow * ow + ox * ox + oy * oy + oz * oz, 1e-6))
     rot = jnp.stack([ow * inv, ox * inv, oy * inv, oz * inv], axis=-1)
     pts = jnp.stack([px, py, pz], axis=-1)
     return pts, rot

@@ -35,14 +35,22 @@ def _interpret() -> bool:
 def _kernel(cap2: int, nburst: int, starts_ref, pairs_ref, out_ref, sems):
     """One grid step issues `nburst` window DMAs back to back, then waits
     them all: the copies are independent, so keeping a burst in flight
-    hides the per-DMA issue latency that a start->wait pair serializes."""
+    hides the per-DMA issue latency that a start->wait pair serializes.
+
+    The destination is the VMEM output BLOCK (static row index j inside
+    it; Pallas pipelines the block's HBM writeback) and the source is the
+    HBM-resident pairs array at a dynamic element offset. Both earlier
+    shapes failed Mosaic on-chip (2026-08-20): with the source promoted
+    to VMEM the dynamic 1-D slice needs provable (1024)-tile alignment,
+    and with BOTH sides pinned to HBM the copy is HBM->HBM. HBM source ->
+    VMEM destination is the canonical manual-input-DMA pattern."""
     t = pl.program_id(0)
     dmas = []
     for j in range(nburst):                       # static unroll
         b = t * nburst + j
         dmas.append(pltpu.make_async_copy(
             pairs_ref.at[pl.ds(2 * starts_ref[b], cap2)],
-            out_ref.at[b],
+            out_ref.at[j],
             sems.at[j],
         ))
     for dma in dmas:
@@ -76,15 +84,12 @@ def gather_windows(pairs: jnp.ndarray, starts: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_pad // nburst,),
-        # the pairs source MUST be pinned to HBM: under memory_space=ANY
-        # Mosaic promoted the 3.2 MB array to VMEM, where a 1-D memref
-        # slice at a dynamic element offset must be provably divisible by
-        # the (1024,) tiling — the 2026-08-20 on-chip probe failed to
-        # compile with exactly that error. HBM slices carry no tiling
-        # constraint, and HBM->HBM window copies are what this kernel is
-        # about (the consumer reads `out` from XLA afterwards anyway).
+        # source pinned to HBM (a VMEM-promoted source rejects dynamic
+        # unaligned 1-D slices — see _kernel docstring); destination is a
+        # per-grid-step VMEM block of `nburst` window rows that Pallas
+        # writes back to HBM between steps
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_specs=pl.BlockSpec((nburst, cap2), lambda i, *_: (i, 0)),
         scratch_shapes=[pltpu.SemaphoreType.DMA((nburst,))],
     )
     out = pl.pallas_call(

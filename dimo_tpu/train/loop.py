@@ -59,6 +59,7 @@ def loss_config_from_opt(opt, stage: str) -> LossConfig:
         feature_lr=opt.feature_lr, opacity_lr=opt.opacity_lr,
         scaling_lr=opt.scaling_lr, rotation_lr=opt.rotation_lr,
         c_radius_lr=opt.c_radius_lr, r_lr=opt.r_lr,
+        grad_clip_norm=float(opt.get("grad_clip_norm", 0.0)),
     )
 
 
@@ -104,6 +105,28 @@ class Trainer:
         self._packer = None
         self._packer_b = None
         self._packer_pending = None
+        # Device-resident dataset cache: when the whole (frames, S, S, 3)
+        # uint8 video set fits comfortably in HBM, upload it ONCE and
+        # gather each batch on-device — the per-step host->device gt
+        # upload (17 MB/step at the reference shape) disappears entirely.
+        # That upload is ~2 ms on PCIe hosts but DOMINATES through a
+        # degraded tunnel (observed 2026-08-20: tunnel at ~1 MB/s turned
+        # 1.3 s/step of upload into ~17 s/step). DIMO_DEVICE_DATA: auto
+        # (default, on when <= 2 GB), 1 force on, 0 force off.
+        self._dev_images = self._dev_masks = None
+        self._dev_cpts = None
+        dd = os.environ.get("DIMO_DEVICE_DATA", "auto")
+        total_bytes = self.images.nbytes + self.masks.nbytes
+        if dd != "0" and (dd == "1" or total_bytes <= 2 << 30):
+            try:
+                self._dev_images = jnp.asarray(
+                    self.images.reshape((-1,) + self.images.shape[3:]))
+                self._dev_masks = jnp.asarray(
+                    self.masks.reshape((-1,) + self.masks.shape[3:]))
+            except Exception as e:  # OOM etc: fall back to host batching
+                print(f"[trainer] device data cache unavailable ({e!r}); "
+                      "using host batch assembly")
+                self._dev_images = self._dev_masks = None
         self.tile_capacity = int(opt.get("tile_capacity", 512))
         self._overflow_strikes = 0
 
@@ -209,6 +232,14 @@ class Trainer:
         meta = self._pending_meta or self._sample_meta()
         self._pending_meta = None
         b = len(meta["times"])
+
+        if self._dev_images is not None:
+            # device-resident path: an on-device row gather replaces the
+            # per-step host upload (see __init__; ~18 ns/row XLA gather)
+            flat = jnp.asarray(meta["flat"], jnp.int32)
+            gt_i = self._dev_images[flat]
+            gt_m = self._dev_masks[flat]
+            return self._finish_batch(meta, gt_i, gt_m)
         packer = self._get_packer(b)
 
         if packer is not None:
@@ -229,7 +260,10 @@ class Trainer:
             flat_msks = self.masks.reshape((-1,) + self.masks.shape[3:])
             gt_i = flat_imgs[meta["flat"]]
             gt_m = flat_msks[meta["flat"]]
+        return self._finish_batch(meta, gt_i, gt_m)
 
+    def _finish_batch(self, meta, gt_i, gt_m):
+        b = len(meta["times"])
         batch = {
             "camera": cameras.stack_cameras(meta["cams"]),
             "times": jnp.asarray(meta["times"], jnp.float32),
@@ -239,8 +273,17 @@ class Trainer:
             "gt_mask": jnp.asarray(gt_m),
         }
         if self.cpts_s1 is not None:
-            batch["guidance"] = jnp.asarray(
-                self.cpts_s1[meta["mvf"][:, 0], meta["mvf"][:, 2]])
+            if self._dev_images is not None:
+                # guidance cached on device alongside the dataset (its
+                # ~0.7 MB/step upload also dies with a degraded tunnel)
+                if self._dev_cpts is None:
+                    self._dev_cpts = jnp.asarray(self.cpts_s1)
+                batch["guidance"] = self._dev_cpts[
+                    jnp.asarray(meta["mvf"][:, 0]),
+                    jnp.asarray(meta["mvf"][:, 2])]
+            else:
+                batch["guidance"] = jnp.asarray(
+                    self.cpts_s1[meta["mvf"][:, 0], meta["mvf"][:, 2]])
         else:
             mc = self.state.params.c_xyz.shape[0]
             batch["guidance"] = jnp.zeros((b, mc, 3))
@@ -391,7 +434,9 @@ class Trainer:
         self._last_b = max(1, int(batch["times"].shape[0]))
         self.state, metrics = step_fn(self.state, batch)
         if int(metrics.get("nonfinite_grad", 0)):
-            print(f"[guard] step {self.step}: non-finite gradient — "
+            print(f"[guard] step {self.step}: non-finite/overflow gradient "
+                  f"(sup={float(metrics.get('grad_sup', 0.0)):.2e} "
+                  f"l2={float(metrics.get('grad_norm', 0.0)):.2e}) — "
                   "update skipped (params/moments untouched)")
         self._check_overflow(metrics)
         try:
@@ -627,6 +672,7 @@ class Trainer:
             return jax.vmap(lambda m: per_motion(m, None))(m_idx)
 
         self.cpts_s1 = np.asarray(traj_all(self.state.params))
+        self._dev_cpts = None          # refresh the device guidance cache
 
     def finish_s2(self):
         self.save_checkpoint("s2")
@@ -741,6 +787,24 @@ class Trainer:
                   f"state.step={state_step} != meta.step={meta['step']} "
                   "(crash mid-save?); starting fresh")
             return None
+        # Moment sanitize: snapshots written before the overflow guard can
+        # carry Inf Adam nu (2026-08-20 scale512 post-mortem: huge finite
+        # grads squared past f32 max). An Inf moment freezes its coord
+        # forever; zeroing it just restarts that coord's moment EMA.
+        nbad = int(sum(
+            int((~np.isfinite(np.asarray(l))).sum())
+            for l in jax.tree_util.tree_leaves((new_state.opt.mu,
+                                                new_state.opt.nu))))
+        if nbad:
+            print(f"[snapshot] sanitized {nbad} non-finite Adam moment "
+                  "entries (overflow-era snapshot)")
+            fixed_opt = jax.tree.map(
+                lambda l: jnp.where(jnp.isfinite(l), l, jnp.zeros_like(l))
+                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                          jnp.floating)
+                else l,
+                new_state.opt)
+            new_state = _dc_replace(new_state, opt=fixed_opt)
         if (int(meta["capacity"]) != self.mcfg.capacity
                 or int(meta["cpt_capacity"]) != self.mcfg.cpt_capacity):
             self.mcfg = _dc_replace(self.mcfg,
@@ -754,6 +818,7 @@ class Trainer:
                 # numpy, not jnp: sample_batch slices cpts_s1 host-side
                 # every step (a device gather would pay dispatch overhead)
                 self.cpts_s1 = np.asarray(z["cpts_s1"])
+                self._dev_cpts = None  # refresh the device guidance cache
         self.step = int(meta["step"])
         self.stage = meta["stage"]
         # clamp to the CURRENT ceiling: a snapshot written before the

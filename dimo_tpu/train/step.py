@@ -68,6 +68,13 @@ class LossConfig:
     lambda_kl: float = 0.05
     lambda_ga1: float = 10.0
     lambda_ga2: float = 10000.0
+    # Global l2 grad clipping (0 = off, the reference-parity default).
+    # Adam is ~scale-invariant to a uniform grad rescale, so clipping at a
+    # generous threshold leaves healthy dynamics untouched while bounding
+    # the damage of the s2 gradient explosions that overflowed Adam nu to
+    # Inf in the 2026-08-20 scale512 runs (huge-but-FINITE grads pass an
+    # isfinite guard; their squares do not fit in f32).
+    grad_clip_norm: float = 0.0
     add_depth: bool = True
     add_normal: bool = True
     add_ga: bool = True
@@ -374,16 +381,30 @@ def make_train_step(
                         trainable_groups=trainable_groups)
         lr_tree = optim.build_lr_tree(state.params, lrs)
 
-        # Non-finite-gradient guard: one inf/nan leaf would poison the
-        # Adam moments and every subsequent step (the 2026-08-20 scale512
-        # run diverged to 100% NaN params this way). A step whose grads
-        # are not fully finite is SKIPPED — params and moments untouched —
-        # and surfaced as metrics["nonfinite_grad"] so the trainer can
-        # log/alert. Costs one isfinite pass over the grads (~free next
-        # to the render backward).
+        # Non-finite/overflow gradient guard: one inf/nan leaf would
+        # poison the Adam moments and every subsequent step (the
+        # 2026-08-20 scale512 run diverged to 100% NaN params this way).
+        # A step whose grads are not fully finite — or so large that
+        # g*g would overflow nu to Inf (|g| > ~1.8e19 in f32; guarded at
+        # 1e17) — is SKIPPED: params and moments untouched, surfaced as
+        # metrics["nonfinite_grad"]. Costs one |g| pass over the grads
+        # (~free next to the render backward).
+        sup_g = jax.tree_util.tree_reduce(
+            lambda acc, g: jnp.maximum(
+                acc, jnp.max(jnp.abs(g), initial=0.0)),  # initial: empty
+            gparams, jnp.float32(0.0))                   # leaves (deg-0 SH)
         grads_ok = jax.tree_util.tree_reduce(
             lambda acc, g: acc & jnp.all(jnp.isfinite(g)),
-            gparams, jnp.bool_(True))
+            gparams, jnp.bool_(True)) & (sup_g < 1e17)
+
+        # Optional global-norm clipping (torch clip_grad_norm_ analog;
+        # lcfg.grad_clip_norm <= 0 disables — the parity default).
+        gnorm = jnp.sqrt(jax.tree_util.tree_reduce(
+            lambda acc, g: acc + jnp.sum(jnp.square(g).astype(jnp.float32)),
+            gparams, jnp.float32(0.0)))
+        if lcfg.grad_clip_norm > 0:
+            scale = jnp.minimum(1.0, lcfg.grad_clip_norm / (gnorm + 1e-12))
+            gparams = jax.tree.map(lambda g: g * scale, gparams)
         gparams = jax.tree.map(
             lambda g: jnp.where(grads_ok, g, jnp.zeros_like(g)), gparams)
         upd_params, upd_opt = optim.update(state.params, gparams, state.opt,
@@ -412,6 +433,8 @@ def make_train_step(
                                step=step, rng=rng)
         metrics = dict(metrics)
         metrics["nonfinite_grad"] = (~grads_ok).astype(jnp.int32)
+        metrics["grad_norm"] = gnorm
+        metrics["grad_sup"] = sup_g
         metrics["debug_render"] = vis_aux["debug_render"]
         metrics["debug_gt"] = vis_aux["debug_gt"]
         return new_state, metrics

@@ -1,40 +1,67 @@
 #!/bin/bash
-# Round-5 guarded scale512 rerun babysitter (detached; survives session
-# crashes). The first scale512 run NaN-diverged in s2 (eval_quality.json
-# 11.64 dB was "render == background"); this rerun
-#   - reuses the run's CLEAN committed s1 checkpoint (--load-stage s1),
-#   - runs a 6000-step s2 (fits the remaining round window at the measured
-#     ~1.7-2.2 s/step; the tag isolates its snapshots),
-#   - trains under the new step.py non-finite-grad guard ([guard] lines in
-#     the log pinpoint any recurrence instead of poisoning the state),
-#   - commits snapshots + the final artifact so NOTHING is lost when the
-#     round ends (untracked files do not survive rounds — round-5 fact).
-# After the eval releases the chip it runs the orchestrator's missing
-# phases: cap4096 bisection repro + bench snapshot.
+# Round-5 guarded scale512 rerun babysitter, v2 (detached; survives session
+# crashes). v1 only relaunched on DEATH; the axon tunnel's 2026-08-20
+# flapping instead leaves clients HUNG forever at boot (no device dial, ~0
+# CPU), so v2 adds:
+#   - a progress watchdog: no snapshot/log growth for STALL_MIN minutes
+#     => SIGTERM + quiet wait + relaunch;
+#   - a pre-launch gate: a 60s matmul probe must succeed (launches only
+#     inside a good tunnel window);
+#   - autosave commits of snapshots/artifacts every loop (untracked files
+#     do not survive rounds).
+# After the eval completes it runs the leftover orchestrator phases
+# (cap4096 repro, bench snapshot).
 set -u
 cd /root/repo
 OUT=/root/repo/probes_r5
 LOG=/tmp/eval512_rerun.log
+SNAP=runs/eval_quality/snap_512_2800+6000_nolpips/snapshot_meta.json
+STALL_MIN=15
 note() { echo "$(date +%H:%M:%S) $*" >> "$OUT/babysit2.log"; }
 
-# wait for any current chip job (knob probe) to exit
-while pgrep -f fps_probe.py >/dev/null 2>&1; do sleep 30; done
-note "chip free; starting guarded scale512 rerun"
+probe_ok() {
+  timeout 60 python -c "import jax, jax.numpy as jnp
+x = jnp.ones((64,64)) @ jnp.ones((64,64)); x.block_until_ready()
+print('OK')" 2>/dev/null | grep -q OK
+}
 
 launch() {
+  # gate on a live tunnel window; probe at most ~10 min
+  for i in 1 2 3 4 5 6 7 8; do
+    if probe_ok; then break; fi
+    note "probe hung (tunnel window closed); waiting"
+    sleep 60
+  done
   nohup python -u scripts/eval_quality.py --scale512 --no-lpips \
     --load-stage s1 --iters 2800,6000 --snapshot-every 250 \
-    --out eval_quality_r5.json > "$LOG" 2>&1 &
+    --out eval_quality_r5.json >> "$LOG" 2>&1 &
   echo $! > /tmp/eval512_rerun.pid
   note "launched eval rerun pid $(cat /tmp/eval512_rerun.pid)"
+  touch /tmp/eval512_progress_stamp
 }
-launch
 
-# babysit: commit progress every ~10 min; relaunch on death (snapshot
-# resume) unless the artifact exists; stop at the wall-clock deadline
-DEADLINE=$(( $(date +%s) + 5*3600 ))
+progress_sig() {
+  # snapshot meta mtime + log byte count: either moves while training
+  echo "$(stat -c %Y "$SNAP" 2>/dev/null || echo 0):$(stat -c %s "$LOG" 2>/dev/null || echo 0)"
+}
+
+relaunch_after_quiet() {
+  kill "$(cat /tmp/eval512_rerun.pid)" 2>/dev/null
+  sleep 20
+  kill -9 "$(cat /tmp/eval512_rerun.pid)" 2>/dev/null
+  note "stalled/hung eval killed; 180s quiet window"
+  sleep 180
+  launch
+}
+
+[ -f /tmp/eval512_rerun.pid ] && kill -0 "$(cat /tmp/eval512_rerun.pid)" \
+  2>/dev/null || launch
+LAST_SIG=$(progress_sig)
+LAST_CHANGE=$(date +%s)
+DEADLINE=$(( $(date +%s) + 4*3600 ))
+
 while true; do
-  sleep 600
+  sleep 300
   git add runs/eval_quality eval_quality_r5.json "$OUT" 2>/dev/null
   git commit -q -m "eval rerun snapshot autosave" 2>/dev/null && \
     note "autosave commit"
@@ -45,25 +72,25 @@ while true; do
       2>/dev/null
     break
   fi
+  SIG=$(progress_sig)
+  NOW=$(date +%s)
+  if [ "$SIG" != "$LAST_SIG" ]; then
+    LAST_SIG=$SIG; LAST_CHANGE=$NOW
+  fi
   if ! kill -0 "$(cat /tmp/eval512_rerun.pid)" 2>/dev/null; then
     note "eval died; relaunching (snapshot resume)"
-    launch
+    launch; LAST_CHANGE=$(date +%s)
+  elif [ $(( NOW - LAST_CHANGE )) -gt $(( STALL_MIN * 60 )) ]; then
+    note "no progress for ${STALL_MIN}m; recycling the eval"
+    relaunch_after_quiet; LAST_CHANGE=$(date +%s)
   fi
-  if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+  if [ "$NOW" -gt "$DEADLINE" ]; then
     note "deadline; leaving the run to the final-commit sweep"
     break
   fi
 done
 
-# ---- post-eval chip window: missing orchestrator phases ---------------
 while kill -0 "$(cat /tmp/eval512_rerun.pid)" 2>/dev/null; do sleep 60; done
-note "bisect repro start"
-timeout 1500 python -u scripts/bisect_cap4096.py --iters 40,60 \
-  > "$OUT/bisect_repro.txt" 2>&1
-note "bisect repro exit=$?"
-note "bench start"
-timeout 1200 python -u bench.py > "$OUT/bench_r5_self.txt" 2>&1
-git add "$OUT" 2>/dev/null
-git commit -q -m "round5: cap4096 repro + bench snapshot artifacts" \
-  -- "$OUT" 2>/dev/null && note "committed post-eval artifacts"
+note "eval released the chip; running the postchip queue"
+bash scripts/r5_postchip.sh
 note "babysitter done"

@@ -90,9 +90,11 @@ class TestBatchPacker:
         np.testing.assert_array_equal(msk_c, masks[c])
         p.close()
 
-    def test_trainer_uses_packer(self):
-        """The product sample_batch routes frame gathering through the
-        packer and prefetches the next batch."""
+    def test_trainer_uses_packer(self, monkeypatch):
+        """With the device-resident dataset cache off (the >2GB / forced
+        fallback regime), the product sample_batch routes frame gathering
+        through the packer and prefetches the next batch."""
+        monkeypatch.setenv("DIMO_DEVICE_DATA", "0")
         from dimo_tpu.io.synthetic import make_synthetic_videos
         from dimo_tpu.train.loop import Trainer
         from dimo_tpu.presets import tiny_synthetic_opt as tiny_opt
